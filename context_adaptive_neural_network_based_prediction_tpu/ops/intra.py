@@ -1,0 +1,248 @@
+"""The 35 HEVC intra prediction modes as one batched, vectorized TPU kernel.
+
+Semantic parity with HM-16.15's intra predictor as re-extracted by the
+reference (`hevc/intraprediction/c++/source/extracted_hevc_intraprediction.cpp`
+:3-419: xPredIntraPlanar, xPredIntraAng with angTable/invAngTable,
+predIntraGetPredValDC, xDCPredFiltering) - but the *implementation* is
+TPU-first: instead of per-mode scalar loops, the entire angular machinery
+(negative-angle side projection, fractional interpolation, transposition for
+horizontal modes) is folded into static gather-index and weight tables
+precomputed per block width.  At runtime one batched gather plus a handful of
+VPU integer ops produce all 35 predictions for N blocks at once:
+
+    preds[n, m, y, x] = ((32-F[m,y,x]) * comb[n, G0[m,y,x]]
+                         + F[m,y,x]    * comb[n, G1[m,y,x]] + 16) >> 5
+
+where `comb[n]` = concat(ref_top[n], ref_left[n]) is the block's reference
+samples.  Planar and DC are closed-form batched expressions.  All arithmetic is
+exact int32, matching HM bit-for-bit (C++ `>>` on negatives == numpy/jax
+arithmetic shift).
+
+Reference layout convention used throughout this framework:
+    ref_top[n]  = [corner, top_0, ..., top_{2w-1}]   (length 2w+1)
+    ref_left[n] = [corner, left_0, ..., left_{2w-1}] (length 2w+1)
+with `corner` the reconstructed pixel diagonally above-left of the block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+PLANAR_IDX = 0
+DC_IDX = 1
+HOR_IDX = 10
+VER_IDX = 26
+NB_MODES = 35
+# HM-16.15 angular tables (TComPrediction.cpp); index = |angle mode|.
+ANG_TABLE = (0, 2, 5, 9, 13, 17, 21, 26, 32)
+INV_ANG_TABLE = (0, 4096, 1638, 910, 630, 482, 390, 315, 256)
+# HM: MAXIMUM_INTRA_FILTERED_{WIDTH,HEIGHT} = 16.
+MAX_INTRA_FILTERED = 16
+
+
+def _mode_angle(mode: int) -> int:
+    """intraPredAngle for an angular mode (2..34, excluding DC/planar)."""
+    is_ver = mode >= 18
+    ang_mode = mode - VER_IDX if is_ver else -(mode - HOR_IDX)
+    return (1 if ang_mode >= 0 else -1) * ANG_TABLE[abs(ang_mode)]
+
+
+def _mode_inv_angle(mode: int) -> int:
+    is_ver = mode >= 18
+    ang_mode = mode - VER_IDX if is_ver else -(mode - HOR_IDX)
+    return INV_ANG_TABLE[abs(ang_mode)]
+
+
+@functools.lru_cache(maxsize=None)
+def _angular_tables(width: int):
+    """Static gather/weight tables for the 33 angular modes at a given width.
+
+    Returns (g0, g1, frac, modes) with shapes (33, w, w) int32; g0/g1 index the
+    combined reference vector comb = concat(ref_top(2w+1), ref_left(2w+1)).
+    """
+    w = width
+    n_ext = 4 * w + 2  # length of comb
+    TOP = 0            # comb[TOP + i]  == ref_top[i]
+    LEFT = 2 * w + 1   # comb[LEFT + i] == ref_left[i]
+    modes = list(range(2, NB_MODES))  # 2..34 inclusive (33 modes; DC/planar separate)
+
+    g0 = np.zeros((len(modes), w, w), dtype=np.int32)
+    g1 = np.zeros_like(g0)
+    frac = np.zeros_like(g0)
+
+    for mi, mode in enumerate(modes):
+        is_ver = mode >= 18
+        angle = _mode_angle(mode)
+        inv_angle = _mode_inv_angle(mode)
+        main = TOP if is_ver else LEFT
+        side = LEFT if is_ver else TOP
+
+        # refMain[k] as an index into comb, for k in [-w .. 2w].
+        ref_main_idx = np.zeros(3 * w + 1, dtype=np.int64)  # slot j holds k = j - w
+        for k in range(0, 2 * w + 1):
+            ref_main_idx[k + w] = main + k
+        if angle < 0:
+            # HM projects side references onto the negative main axis:
+            # refMain[-j] = refSide[(128 + j*invAngle) >> 8].
+            for j in range(1, w + 1):
+                ref_main_idx[w - j] = side + ((128 + j * inv_angle) >> 8)
+
+        for y in range(w):
+            for x in range(w):
+                # Horizontal modes are the transpose of the vertical computation.
+                yy, xx = (y, x) if is_ver else (x, y)
+                delta_pos = (yy + 1) * angle
+                delta_int = delta_pos >> 5
+                f = delta_pos & 31
+                k0 = xx + delta_int + 1
+                k1 = min(k0 + 1, 2 * w)  # clamp; weight is 0 when f == 0 at the edge
+                g0[mi, y, x] = ref_main_idx[k0 + w]
+                g1[mi, y, x] = ref_main_idx[k1 + w]
+                frac[mi, y, x] = f
+    assert g0.max() < n_ext and g0.min() >= 0
+    return g0, g1, frac, tuple(modes)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_predict(width: int, filtered_edges: bool):
+    import jax
+    import jax.numpy as jnp
+
+    g0_np, g1_np, frac_np, _ = _angular_tables(width)
+    w = width
+    s = int(np.log2(w))
+
+    def predict(ref_top, ref_left):
+        ref_top = ref_top.astype(jnp.int32)
+        ref_left = ref_left.astype(jnp.int32)
+        n = ref_top.shape[0]
+        comb = jnp.concatenate([ref_top, ref_left], axis=1)  # (N, 4w+2)
+
+        g0 = jnp.asarray(g0_np)
+        g1 = jnp.asarray(g1_np)
+        f = jnp.asarray(frac_np)
+        r0 = comb[:, g0]  # (N, 33, w, w)
+        r1 = comb[:, g1]
+        ang = ((32 - f) * r0 + f * r1 + 16) >> 5
+
+        # --- edge filters on the pure horizontal/vertical modes (luma, w<=16) ---
+        if filtered_edges and w <= MAX_INTRA_FILTERED:
+            # mode 26 (index 24 in 2..34): first column gets +((left[y]-corner)>>1).
+            col_adj = (ref_left[:, 1:w + 1] - ref_left[:, 0:1]) >> 1  # (N, w)
+            ver_col = jnp.clip(ang[:, VER_IDX - 2, :, 0] + col_adj, 0, 255)
+            ang = ang.at[:, VER_IDX - 2, :, 0].set(ver_col)
+            # mode 10 (index 8): first row gets +((top[x]-corner)>>1).
+            row_adj = (ref_top[:, 1:w + 1] - ref_top[:, 0:1]) >> 1
+            hor_row = jnp.clip(ang[:, HOR_IDX - 2, 0, :] + row_adj, 0, 255)
+            ang = ang.at[:, HOR_IDX - 2, 0, :].set(hor_row)
+
+        # --- DC (predIntraGetPredValDC + xDCPredFiltering) ---
+        top_w = ref_top[:, 1:w + 1]
+        left_w = ref_left[:, 1:w + 1]
+        dc = (jnp.sum(top_w, axis=1) + jnp.sum(left_w, axis=1) + w) // (2 * w)  # (N,)
+        dc_blk = jnp.broadcast_to(dc[:, None, None], (n, w, w))
+        if filtered_edges and w <= MAX_INTRA_FILTERED:
+            first_row = (top_w + 3 * dc[:, None] + 2) >> 2          # (N, w)
+            first_col = (left_w + 3 * dc[:, None] + 2) >> 2         # (N, w)
+            corner = (top_w[:, 0] + left_w[:, 0] + 2 * dc + 2) >> 2  # (N,)
+            dc_blk = dc_blk.at[:, 0, :].set(first_row)
+            dc_blk = dc_blk.at[:, :, 0].set(first_col)
+            dc_blk = dc_blk.at[:, 0, 0].set(corner)
+
+        # --- Planar (xPredIntraPlanar, closed form of HM's accumulation) ---
+        T = top_w[:, None, :]          # (N, 1, w) -> varies along x
+        L = left_w[:, :, None]         # (N, w, 1) -> varies along y
+        TR = ref_top[:, w + 1][:, None, None]
+        BL = ref_left[:, w + 1][:, None, None]
+        xs = jnp.arange(w)[None, None, :]
+        ys2 = jnp.arange(w)[None, :, None]
+        hor = (L << s) + w + (xs + 1) * (TR - L)
+        ver = (T << s) + (ys2 + 1) * (BL - T)
+        planar = (hor + ver) >> (s + 1)
+
+        preds = jnp.concatenate(
+            [planar[:, None], dc_blk[:, None], ang], axis=1)  # (N, 35, w, w)
+        return preds
+
+    return jax.jit(predict)
+
+
+def predict_all_modes(ref_top, ref_left, *, filtered_edges: bool = True):
+    """Predicts all 35 HEVC intra modes for a batch of square blocks.
+
+    Parameters
+    ----------
+    ref_top, ref_left : (N, 2w+1) integer arrays per the module convention.
+    filtered_edges : apply HM's luma DC filtering / H-V edge filters (on for
+        luma with w <= 16, matching `isLuma=true` in the reference extraction).
+
+    Returns
+    -------
+    (N, 35, w, w) int32 array of predictions in [0, 255]; index m is HM mode m
+    (0 planar, 1 DC, 2-34 angular).
+    """
+    width = (ref_top.shape[1] - 1) // 2
+    if ref_top.shape != ref_left.shape or ref_top.shape[1] != 2 * width + 1:
+        raise ValueError("ref_top/ref_left must be (N, 2w+1).")
+    fn = _jitted_predict(width, bool(filtered_edges))
+    return fn(ref_top, ref_left)
+
+
+def pad_intra_pattern(intra_pattern_uint8: np.ndarray, size_block: int):
+    """Expands a partial L-pattern to full (ref_top, ref_left) by edge replication.
+
+    Mirrors the padding of `extracted_hevc_intraprediction.cpp:30-84`: the
+    pattern's first row (length in [w+1, 2w+1]) and first column (height in
+    [w+1, 2w+1]) are copied, then the top-right / bottom-left pixels replicate
+    outward to length 2w+1.
+
+    `intra_pattern_uint8` is (h_ip, w_ip, 1) with the L stored as in the
+    reference simulator (`hevc/intraprediction/intraprediction.py:10-101`):
+    row 0 holds the above references (incl. corner), column 0 the left ones.
+    """
+    w = size_block
+    h_ip, w_ip = intra_pattern_uint8.shape[:2]
+    if not (w + 1 <= h_ip <= 2 * w + 1) or not (w + 1 <= w_ip <= 2 * w + 1):
+        raise ValueError("intra pattern dims must lie in [w+1, 2w+1].")
+    pat = intra_pattern_uint8[..., 0] if intra_pattern_uint8.ndim == 3 else intra_pattern_uint8
+    ref_top = np.full(2 * w + 1, pat[0, w_ip - 1], dtype=np.int32)
+    ref_top[:w_ip] = pat[0, :]
+    ref_left = np.full(2 * w + 1, pat[h_ip - 1, 0], dtype=np.int32)
+    ref_left[:h_ip] = pat[:, 0]
+    return ref_top, ref_left
+
+
+def predict_via_hevc_mode(intra_pattern_uint8: np.ndarray, width_target: int,
+                          mode: int) -> np.ndarray:
+    """Single-block, single-mode prediction (reference `interface.pyx` parity).
+
+    Returns a (w, w, 1) uint8 block.
+    """
+    if mode < 0 or mode > 34:
+        raise ValueError("mode must be in [0, 34].")
+    ref_top, ref_left = pad_intra_pattern(intra_pattern_uint8, width_target)
+    preds = predict_all_modes(ref_top[None], ref_left[None])
+    return np.asarray(preds)[0, mode].astype(np.uint8)[..., None]
+
+
+def predict_best_mode(ref_top, ref_left, targets):
+    """Sweeps all 35 modes and keeps the max-PSNR mode per block.
+
+    Parity with `hevc/intraprediction/intraprediction.py:231-292`
+    (predict_series_via_hevc_best_mode), but batched: `targets` is (N, w, w).
+    Returns (best_predictions (N, w, w) int32, best_modes (N,) int32,
+    best_psnrs (N,) float).  Ties resolve to the lowest mode index, like the
+    reference's strict-improvement argmax scan.
+    """
+    import jax.numpy as jnp
+
+    preds = predict_all_modes(ref_top, ref_left)  # (N, 35, w, w)
+    t = jnp.asarray(targets).astype(jnp.float32)[:, None]
+    mse = jnp.mean((preds.astype(jnp.float32) - t) ** 2, axis=(2, 3))
+    psnr = 10.0 * jnp.log10(255.0 ** 2 / (mse + 1.0e-6))
+    best = jnp.argmax(psnr, axis=1).astype(jnp.int32)
+    n = preds.shape[0]
+    best_preds = preds[jnp.arange(n), best]
+    return best_preds, best, psnr[jnp.arange(n), best]
