@@ -1,0 +1,71 @@
+"""CABAC context model set for the All-Intra luma codec.
+
+Init values are HM-16.15's I-slice tables (`ContextTables.h`, third row of
+each INIT_* array; luma entries only).  Context indices are allocated in one
+flat array so encoder and decoder share `cabac.init_contexts`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cabac
+
+# I-slice luma init values.
+INIT_SPLIT_CU = [139, 141, 157]
+INIT_PART_SIZE = [184]
+INIT_PREV_INTRA = [184]
+INIT_CBF_LUMA = [111, 141]
+INIT_TRANSFORM_SKIP = [139]
+INIT_SIG_CG = [91, 171]
+INIT_SIG = [111,
+            111, 125, 110, 110, 94, 124, 108, 124,
+            107, 125, 141, 179, 153, 125,
+            107, 125, 141, 179, 153, 125,
+            107, 125, 141, 179, 153, 125,
+            141]
+INIT_LAST_X = [110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111, 79]
+INIT_LAST_Y = INIT_LAST_X
+INIT_GREATER1 = [140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92, 139, 107, 122, 152]
+INIT_GREATER2 = [138, 153, 136, 167]
+# PNNS flag context for the "switch" codec behaviour (hm_16_15_switch
+# ContextTables.h:239-247: init value 154 for every slice type).
+INIT_PNNS_FLAG = [154]
+
+
+class Offsets:
+    pass
+
+
+def _build_layout():
+    names = [
+        ("split_cu", INIT_SPLIT_CU),
+        ("part_size", INIT_PART_SIZE),
+        ("prev_intra", INIT_PREV_INTRA),
+        ("cbf_luma", INIT_CBF_LUMA),
+        ("transform_skip", INIT_TRANSFORM_SKIP),
+        ("sig_cg", INIT_SIG_CG),
+        ("sig", INIT_SIG),
+        ("last_x", INIT_LAST_X),
+        ("last_y", INIT_LAST_Y),
+        ("greater1", INIT_GREATER1),
+        ("greater2", INIT_GREATER2),
+        ("pnns_flag", INIT_PNNS_FLAG),
+    ]
+    offsets = Offsets()
+    init_values = []
+    pos = 0
+    for name, vals in names:
+        setattr(offsets, name, pos)
+        init_values.extend(vals)
+        pos += len(vals)
+    return offsets, init_values
+
+
+OFFSETS, INIT_VALUES = _build_layout()
+NUM_CONTEXTS = len(INIT_VALUES)
+
+
+def make_context_states(qp: int) -> np.ndarray:
+    """Fresh per-slice context state array for the given QP."""
+    return cabac.init_contexts(qp, INIT_VALUES)
