@@ -1,0 +1,132 @@
+"""PNN-in-the-loop intra prediction: context extraction + normative forward.
+
+Parity with the reference codecs:
+* context availability (`hm_16_15_substitution/.../TComPattern.cpp:109-175`):
+  the CTU containing the anchor pixel (x - n, y - n) must exist - i.e. the
+  anchor must lie inside the picture (left/above/above-left CTUs are always
+  previously coded in All-Intra raster order);
+* context extraction (`hm_common/c++/source_common/extraction_context.cpp`):
+  the w x w above-left corner region is always copied; the 4-wide column
+  strips of the above-right part and 4-tall row strips of the left part are
+  copied only where the corresponding reference-sample unit is available,
+  everything else staying zero in mean-subtracted space;
+* prediction post-processing (`TComPrediction.cpp:621-637`): clip(pred + mean,
+  0, 255) then round; unavailable context -> all-zero prediction;
+* "pair" model selection at QP >= 32 (`TComPrediction.cpp:155-170`).
+
+The forward runs through `models.pnn` (jitted); predictions are cached per TU
+position so the encoder's repeated RD evaluations pay for one forward.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..models import pnn
+
+QP_PAIR_THRESHOLD = 32  # QP >= 32 selects artifact-trained ("pair") models
+
+
+@dataclass
+class PnnBundle:
+    """Per-width PNN models + the training mean, as used inside the codec."""
+    params: Dict[int, dict]            # width -> param pytree
+    is_fully_connected: Dict[int, bool]
+    mean_training: float
+
+    @classmethod
+    def from_checkpoints(cls, paths: Dict[int, str], mean_training: float,
+                         is_fully_connected: Optional[Dict[int, bool]] = None):
+        from ..models import importer
+
+        params = {}
+        arch = {}
+        for width, path in paths.items():
+            p = importer.import_tf_checkpoint(path)
+            params[width] = p
+            arch[width] = "fully_connected" in p
+        if is_fully_connected:
+            arch.update(is_fully_connected)
+        return cls(params, arch, mean_training)
+
+
+def context_available(x: int, y: int, n: int) -> bool:
+    """True iff the anchor pixel (x-n, y-n) lies inside the picture."""
+    return x - n >= 0 and y - n >= 0
+
+
+def extract_context(recon: np.ndarray, x: int, y: int, n: int,
+                    flags: np.ndarray, mean_training: float):
+    """Masked (above (n,3n), left (2n,n)) float32 context portions.
+
+    `flags` are the reference-sample availability flags in HM line order
+    (the same array used for fillReferenceSamples).
+    """
+    n_units = (2 * n) // 4
+    above = np.zeros((n, 3 * n), dtype=np.float32)
+    left = np.zeros((2 * n, n), dtype=np.float32)
+
+    # Above-left corner region: always available when contextFlag holds.
+    above[:, :n] = recon[y - n:y, x - n:x].astype(np.float32) - mean_training
+    # Above / above-right strips gated by the above-unit flags.
+    h_limit = recon.shape[0]
+    w_limit = recon.shape[1]
+    for i in range(n_units):
+        if flags[n_units + 1 + i]:
+            x0 = x + i * 4
+            x1 = min(x0 + 4, w_limit)
+            above[:, n + i * 4: n + i * 4 + (x1 - x0)] = (
+                recon[y - n:y, x0:x1].astype(np.float32) - mean_training)
+    # Left strips, top to bottom; flag order is bottom-to-top.
+    for i in range(n_units):
+        if flags[n_units - 1 - i]:
+            y0 = y + i * 4
+            y1 = min(y0 + 4, h_limit)
+            left[i * 4: i * 4 + (y1 - y0), :] = (
+                recon[y0:y1, x - n:x].astype(np.float32) - mean_training)
+    return above, left
+
+
+@dataclass
+class PnnPredictor:
+    """Normative PNN prediction for one frame encode/decode."""
+    bundle: PnnBundle
+    _cache: dict = field(default_factory=dict)
+
+    def supports(self, n: int) -> bool:
+        return n in self.bundle.params
+
+    def predict(self, recon: np.ndarray, x: int, y: int, n: int,
+                flags: np.ndarray) -> np.ndarray:
+        """(n, n) int32 prediction in [0, 255]; zeros if context unavailable."""
+        if not context_available(x, y, n) or not self.supports(n):
+            return np.zeros((n, n), dtype=np.int32)
+        above, left = extract_context(recon, x, y, n, flags,
+                                      self.bundle.mean_training)
+        # The cache key fingerprints the *context pixels*, not just the
+        # position: during RDO the same TU position is predicted under
+        # different neighbouring reconstructions (e.g. interior TUs of a
+        # 64x64 PU across candidate modes).
+        key = (x, y, n, hash(above.tobytes()) ^ hash(left.tobytes()))
+        if key in self._cache:
+            return self._cache[key]
+        if len(self._cache) > 4096:
+            self._cache.clear()
+        params = self.bundle.params[n]
+        is_fc = self.bundle.is_fully_connected[n]
+        if is_fc:
+            inputs = np.concatenate(
+                [above.reshape(1, -1), left.reshape(1, -1)], axis=1)
+        else:
+            inputs = (above[None, :, :, None], left[None, :, :, None])
+        pred = np.asarray(pnn.forward(params, inputs, n, is_fc))[0, :, :, 0]
+        out = np.round(
+            np.clip(pred + self.bundle.mean_training, 0.0, 255.0)).astype(np.int32)
+        self._cache[key] = out
+        return out
+
+    def invalidate(self):
+        self._cache.clear()

@@ -169,6 +169,51 @@ def _jitted_predict(width: int, filtered_edges: bool):
     return jax.jit(predict)
 
 
+def predict_all_modes_np(ref_top, ref_left, *, filtered_edges: bool = True) -> np.ndarray:
+    """Numpy twin of `predict_all_modes` (same tables, same integer semantics).
+
+    Used by the host-orchestrated RDO encoder where per-TU jit dispatch would
+    dominate; the jitted version is the whole-frame wavefront path.
+    """
+    ref_top = np.asarray(ref_top, dtype=np.int32)
+    ref_left = np.asarray(ref_left, dtype=np.int32)
+    w = (ref_top.shape[1] - 1) // 2
+    n = ref_top.shape[0]
+    s = int(np.log2(w))
+    g0, g1, frac, _ = _angular_tables(w)
+    comb = np.concatenate([ref_top, ref_left], axis=1)
+    r0 = comb[:, g0]
+    r1 = comb[:, g1]
+    ang = ((32 - frac) * r0 + frac * r1 + 16) >> 5
+
+    if filtered_edges and w <= MAX_INTRA_FILTERED:
+        col_adj = (ref_left[:, 1:w + 1] - ref_left[:, 0:1]) >> 1
+        ang[:, VER_IDX - 2, :, 0] = np.clip(ang[:, VER_IDX - 2, :, 0] + col_adj, 0, 255)
+        row_adj = (ref_top[:, 1:w + 1] - ref_top[:, 0:1]) >> 1
+        ang[:, HOR_IDX - 2, 0, :] = np.clip(ang[:, HOR_IDX - 2, 0, :] + row_adj, 0, 255)
+
+    top_w = ref_top[:, 1:w + 1]
+    left_w = ref_left[:, 1:w + 1]
+    dc = (np.sum(top_w, axis=1) + np.sum(left_w, axis=1) + w) // (2 * w)
+    dc_blk = np.broadcast_to(dc[:, None, None], (n, w, w)).copy()
+    if filtered_edges and w <= MAX_INTRA_FILTERED:
+        dc_blk[:, 0, :] = (top_w + 3 * dc[:, None] + 2) >> 2
+        dc_blk[:, 1:, 0] = (left_w[:, 1:] + 3 * dc[:, None] + 2) >> 2
+        dc_blk[:, 0, 0] = (top_w[:, 0] + left_w[:, 0] + 2 * dc + 2) >> 2
+
+    T = top_w[:, None, :]
+    L = left_w[:, :, None]
+    TR = ref_top[:, w + 1][:, None, None]
+    BL = ref_left[:, w + 1][:, None, None]
+    xs = np.arange(w)[None, None, :]
+    ys = np.arange(w)[None, :, None]
+    hor = (L << s) + w + (xs + 1) * (TR - L)
+    ver = (T << s) + (ys + 1) * (BL - T)
+    planar = (hor + ver) >> (s + 1)
+
+    return np.concatenate([planar[:, None], dc_blk[:, None], ang], axis=1).astype(np.int32)
+
+
 def predict_all_modes(ref_top, ref_left, *, filtered_edges: bool = True):
     """Predicts all 35 HEVC intra modes for a batch of square blocks.
 

@@ -208,6 +208,69 @@ def _jitted_dequant(n: int, qp: int, bit_depth: int):
     return jax.jit(dequant)
 
 
+def forward_transform_np(residuals: np.ndarray, *, use_dst: bool = False,
+                         bit_depth: int = BIT_DEPTH) -> np.ndarray:
+    """Numpy twin of `forward_transform` (identical integer semantics)."""
+    n = residuals.shape[-1]
+    log2n = n.bit_length() - 1
+    t = (DST4 if use_dst else np.asarray(dct_matrix(n), np.int32)).astype(np.int64)
+    shift1 = log2n + bit_depth + TRANSFORM_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
+    shift2 = log2n + TRANSFORM_MATRIX_SHIFT
+    add1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    add2 = 1 << (shift2 - 1)
+    r = residuals.astype(np.int64)
+    a = (np.einsum("bin,kn->bik", r, t) + add1) >> shift1
+    return (((np.einsum("ki,bil->bkl", t, a) + add2) >> shift2)).astype(np.int32)
+
+
+def inverse_transform_np(coeffs: np.ndarray, *, use_dst: bool = False,
+                         bit_depth: int = BIT_DEPTH) -> np.ndarray:
+    """Numpy twin of `inverse_transform`."""
+    n = coeffs.shape[-1]
+    t = (DST4 if use_dst else np.asarray(dct_matrix(n), np.int32)).astype(np.int64)
+    shift1 = TRANSFORM_MATRIX_SHIFT + 1
+    shift2 = (TRANSFORM_MATRIX_SHIFT + MAX_TR_DYNAMIC_RANGE - 1) - bit_depth
+    add1 = 1 << (shift1 - 1)
+    add2 = (1 << (shift2 - 1)) if shift2 > 0 else 0
+    lo, hi = -(1 << MAX_TR_DYNAMIC_RANGE), (1 << MAX_TR_DYNAMIC_RANGE) - 1
+    c = coeffs.astype(np.int64)
+    e = np.clip((np.einsum("ki,bkl->bil", t, c) + add1) >> shift1, lo, hi)
+    r = (np.einsum("bik,kn->bin", e, t) + add2) >> shift2
+    return np.clip(r, -32768, 32767).astype(np.int32)
+
+
+def quantize_np(coeffs: np.ndarray, qp: int, *, is_intra_slice: bool = True,
+                bit_depth: int = BIT_DEPTH) -> np.ndarray:
+    """Numpy twin of `quantize`."""
+    n = coeffs.shape[-1]
+    log2n = n.bit_length() - 1
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2n, bit_depth)
+    add = (171 if is_intra_slice else 85) << (qbits - 9)
+    scale = QUANT_SCALES[rem]
+    c = coeffs.astype(np.int64)
+    mag = (np.abs(c) * scale + add) >> qbits
+    q = np.sign(c) * mag
+    lo, hi = -(1 << MAX_TR_DYNAMIC_RANGE), (1 << MAX_TR_DYNAMIC_RANGE) - 1
+    return np.clip(q, lo, hi).astype(np.int32)
+
+
+def dequantize_np(qcoeffs: np.ndarray, qp: int, *, bit_depth: int = BIT_DEPTH) -> np.ndarray:
+    """Numpy twin of `dequantize`."""
+    n = qcoeffs.shape[-1]
+    log2n = n.bit_length() - 1
+    per, rem = qp // 6, qp % 6
+    right_shift = IQUANT_SHIFT - (transform_shift(log2n, bit_depth) + per)
+    scale = INV_QUANT_SCALES[rem]
+    q = qcoeffs.astype(np.int64)
+    if right_shift > 0:
+        c = (q * scale + (1 << (right_shift - 1))) >> right_shift
+    else:
+        c = (q * scale) << (-right_shift)
+    lo, hi = -(1 << MAX_TR_DYNAMIC_RANGE), (1 << MAX_TR_DYNAMIC_RANGE) - 1
+    return np.clip(c, lo, hi).astype(np.int32)
+
+
 def quantize(coeffs, qp: int, *, is_intra_slice: bool = True, bit_depth: int = BIT_DEPTH):
     """HM scalar quantization (non-RDOQ path) of (B, N, N) coefficients."""
     return _jitted_quant(coeffs.shape[-1], qp, is_intra_slice, bit_depth)(coeffs)
