@@ -1,0 +1,68 @@
+"""Benchmark: wavefront All-Intra device encode throughput at 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured quantity is the fully-jitted wavefront intra encoder
+(`parallel/wavefront.py`) on a 1920x1088 luma frame at QP 32: reference-sample
+construction, 35-mode prediction, per-mode DCT/quant/dequant/iDCT, RD-proxy
+mode decision and reconstruction for all 8160 16x16 blocks - the complete
+device side of the encoder.  Host CABAC packing (a separate serial stage, C++
+port planned) is excluded; per-frame completion is forced by fetching the
+(small) mode plane.
+
+vs_baseline compares against HM-16.15's TAppEncoderStatic built from the
+reference tree and measured on this machine encoding the same frame
+(All-Intra, intra_main_rext.cfg, QP 32, 4:0:0): 7.963 s/frame = 0.1256 fps
+single-threaded (see BASELINE_HM.json).
+"""
+
+import json
+import time
+
+import numpy as np
+
+HM_BASELINE_FPS = 0.1256  # measured: /tmp HM-16.15 build, 1920x1088 AI QP32
+
+
+def bench_frame(h=1088, w=1920):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    f = (120 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
+         + rng.normal(0, 5, (h, w)))
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from context_adaptive_neural_network_based_prediction_tpu.parallel import (
+        wavefront)
+
+    h, w, qp = 1088, 1920, 32
+    frame = bench_frame(h, w)
+    run = wavefront._jitted_wavefront(h, w, 16, qp)
+    fdev = jnp.asarray(frame)
+
+    # Warm-up / compile.
+    recon, modes, q = run(fdev)
+    np.asarray(modes)
+
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        recon, modes, q = run(fdev)
+        np.asarray(modes)  # forces completion of the whole program
+    elapsed = time.time() - t0
+    fps = reps / elapsed
+
+    print(json.dumps({
+        "metric": "wavefront_intra_device_encode_fps_1080p",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

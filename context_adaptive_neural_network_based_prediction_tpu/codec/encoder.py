@@ -444,81 +444,90 @@ class FrameEncoder:
     # -------------------------------------------------------- serialization
 
     def _serialize(self, trees) -> bytes:
-        header = struct.pack("<4sBBBBBII", MAGIC, VERSION,
-                             POLICIES.index(self.policy), self.qp,
-                             1 if self.sign_hiding else 0, self.ctu,
-                             self.w, self.h)
-        enc = cabac.CabacEncoder()
-        ctx = make_context_states(self.qp)
-        # Re-derive neighbour state for context modelling during the real pass.
-        self._ser_mode_map = np.full_like(self.mode_map, -1)
-        self._ser_depth_map = np.zeros_like(self.depth_map)
-        self._ser_coded = np.zeros_like(self.unit_coded)
-        for node in trees:
-            self._ser_cu(enc, ctx, node)
-        payload = enc.terminate_and_finish()
-        return header + payload
+        return serialize_trees(trees, width=self.w, height=self.h, qp=self.qp,
+                               policy=self.policy, ctu_size=self.ctu,
+                               sign_hiding=self.sign_hiding)
 
-    def _ser_split_ctx(self, x, y, depth):
-        ctx = 0
+
+def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
+                    ctu_size: int, sign_hiding: bool) -> bytes:
+    """Real CABAC pass over decided CU trees -> framework bitstream.
+
+    Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
+    """
+    header = struct.pack("<4sBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
+                         qp, 1 if sign_hiding else 0, ctu_size, width, height)
+    enc = cabac.CabacEncoder()
+    ctx = make_context_states(qp)
+    uh, uw = height // 4, width // 4
+    mode_map = np.full((uh, uw), -1, dtype=np.int32)
+    depth_map = np.zeros((uh, uw), dtype=np.int32)
+    coded = np.zeros((uh, uw), dtype=bool)
+
+    def split_ctx(x, y, depth):
+        c = 0
         ux, uy = x // 4, y // 4
-        if x > 0 and self._ser_coded[uy, ux - 1]:
-            ctx += 1 if self._ser_depth_map[uy, ux - 1] > depth else 0
-        if y > 0 and self._ser_coded[uy - 1, ux]:
-            ctx += 1 if self._ser_depth_map[uy - 1, ux] > depth else 0
-        return ctx
+        if x > 0 and coded[uy, ux - 1]:
+            c += 1 if depth_map[uy, ux - 1] > depth else 0
+        if y > 0 and coded[uy - 1, ux]:
+            c += 1 if depth_map[uy - 1, ux] > depth else 0
+        return c
 
-    def _ser_mpms(self, x, y):
+    def mpms_at(x, y):
         def nb(left):
             if left:
                 nx, ny = x - 1, y
             else:
                 nx, ny = x, y - 1
-                if y % self.ctu == 0:
+                if y % ctu_size == 0:
                     return syntax.DC_IDX
             if nx < 0 or ny < 0:
                 return syntax.DC_IDX
-            m = int(self._ser_mode_map[ny // 4, nx // 4])
+            m = int(mode_map[ny // 4, nx // 4])
             return m if m >= 0 else syntax.DC_IDX
         left, above = nb(True), nb(False)
-        if self.policy == "switch":
-            return self._mpms_switch(left, above)
+        if policy == "switch":
+            return FrameEncoder._mpms_switch(left, above)
         return syntax.mpm_candidates(left, above)
 
-    def _ser_cu(self, enc, ctx, node):
+    def ser_cu(node):
         if node is None:
             return
         x, y, size, depth = node.x, node.y, node.size, node.depth
-        inside = x + size <= self.w and y + size <= self.h
+        inside = x + size <= width and y + size <= height
         if size > MIN_CU and inside:
             enc.encode_bin(1 if node.split else 0, ctx,
-                           OFFSETS.split_cu + self._ser_split_ctx(x, y, depth))
+                           OFFSETS.split_cu + split_ctx(x, y, depth))
         if node.split:
             for child in node.children:
-                self._ser_cu(enc, ctx, child)
+                ser_cu(child)
             return
         if size == MIN_CU:
             enc.encode_bin(0 if node.part_nxn else 1, ctx, OFFSETS.part_size)
         for pu in node.pus:
-            mpms = self._ser_mpms(pu.x, pu.y)
-            if self.policy == "switch":
-                enc.encode_bin(1 if pu.mode == PNNS_MODE else 0, ctx, OFFSETS.pnns_flag)
+            mpms = mpms_at(pu.x, pu.y)
+            if policy == "switch":
+                enc.encode_bin(1 if pu.mode == PNNS_MODE else 0, ctx,
+                               OFFSETS.pnns_flag)
                 if pu.mode != PNNS_MODE:
                     syntax.encode_intra_mode(enc, ctx, pu.mode, mpms)
             else:
                 syntax.encode_intra_mode(enc, ctx, pu.mode, mpms)
-            self._ser_mode_map[pu.y // 4:(pu.y + pu.n) // 4,
-                               pu.x // 4:(pu.x + pu.n) // 4] = pu.mode
+            mode_map[pu.y // 4:(pu.y + pu.n) // 4,
+                     pu.x // 4:(pu.x + pu.n) // 4] = pu.mode
             for tu in pu.tus:
                 enc.encode_bin(tu.cbf, ctx,
                                OFFSETS.cbf_luma + (1 if tu.n == pu.n else 0))
                 if tu.cbf:
                     syntax.encode_coefficients(
                         enc, ctx, tu.coeffs,
-                        pu.mode if pu.mode != PNNS_MODE else 0,
-                        self.sign_hiding)
-        self._ser_depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
-        self._ser_coded[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = True
+                        pu.mode if pu.mode != PNNS_MODE else 0, sign_hiding)
+        depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
+        coded[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = True
+
+    for node in trees:
+        ser_cu(node)
+    return header + enc.terminate_and_finish()
 
 
 def encode_frame(frame_uint8: np.ndarray, qp: int, **kwargs) -> EncodeResult:
