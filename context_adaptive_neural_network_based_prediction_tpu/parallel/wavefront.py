@@ -271,11 +271,14 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
 
 
 def encode_frame_wavefront(frame_uint8: np.ndarray, qp: int, *,
-                           block_size: int = 16, serialize: bool = True):
+                           block_size: int = 16, serialize: bool = True,
+                           use_native_pack: bool = True):
     """Whole-frame jitted wavefront encode on a uniform block grid.
 
     Returns an `EncodeResult` whose bitstream decodes bit-exactly with
     `codec.decoder.FrameDecoder` (header declares ctu_size = block_size).
+    CABAC packing uses the native C++ packer when the toolchain is available
+    (byte-identical with the Python serializer), else pure Python.
     """
     import jax.numpy as jnp
 
@@ -302,9 +305,15 @@ def encode_frame_wavefront(frame_uint8: np.ndarray, qp: int, *,
             mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = modes[by, bx]
     bitstream = b""
     if serialize:
-        bitstream = enc_mod.serialize_trees(
-            trees, width=w, height=h, qp=qp, policy="regular", ctu_size=n,
-            sign_hiding=False)
+        from ..codec import native
+
+        if use_native_pack and native.available():
+            bitstream = native.serialize_grid(modes, qcoeffs, width=w,
+                                              height=h, n=n, qp=qp)
+        else:
+            bitstream = enc_mod.serialize_trees(
+                trees, width=w, height=h, qp=qp, policy="regular", ctu_size=n,
+                sign_hiding=False)
     return enc_mod.EncodeResult(
         bitstream=bitstream,
         reconstruction=recon.astype(np.uint8),
