@@ -99,7 +99,8 @@ class FrameEncoder:
                  policy: str = "regular", pnn: Optional[PnnPredictor] = None,
                  ctu_size: int = 64, sign_hiding: bool = False,
                  strong_intra_smoothing: bool = True,
-                 rd_candidates: Optional[dict] = None):
+                 rd_candidates: Optional[dict] = None,
+                 use_rdoq: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -119,6 +120,7 @@ class FrameEncoder:
         self.strong_smoothing = strong_intra_smoothing
         self.lam = rdo.lambda_for_qp(qp)
         self.sqrt_lam = self.lam ** 0.5
+        self.use_rdoq = use_rdoq
         self.n_candidates = dict(rdo.NUM_FAST_CANDIDATES)
         if rd_candidates:
             self.n_candidates.update(rd_candidates)
@@ -253,7 +255,15 @@ class FrameEncoder:
         resi = orig - pred
         use_dst = n == 4
         coeff = transform.forward_transform_np(resi[None], use_dst=use_dst)[0]
-        q = transform.quantize_np(coeff[None], self.qp)[0]
+        if self.use_rdoq:
+            from . import rdoq as rdoq_mod
+
+            q = rdoq_mod.rdoq(coeff, self.qp,
+                              mode if mode != PNNS_MODE else 0,
+                              self.lam, self.est_ctx,
+                              cbf_ctx_offset=1 if tu_depth0 else 0)
+        else:
+            q = transform.quantize_np(coeff[None], self.qp)[0]
         cbf = 1 if q.any() else 0
         # cbf context: TU at trafo depth 0 -> ctx 1; forced 64->32 split -> 0.
         cbf_ctx = OFFSETS.cbf_luma + (1 if tu_depth0 else 0)
