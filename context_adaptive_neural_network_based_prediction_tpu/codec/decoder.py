@@ -35,9 +35,9 @@ class DecodeResult:
 class FrameDecoder:
     def __init__(self, bitstream: bytes, *, pnn: Optional[PnnPredictor] = None,
                  strong_intra_smoothing: bool = True):
-        header_size = struct.calcsize("<4sBBBBBII")
-        magic, version, policy_idx, qp, sign_hiding, ctu, w, h = struct.unpack(
-            "<4sBBBBBII", bitstream[:header_size])
+        header_size = struct.calcsize("<4sBBBBBBII")
+        (magic, version, policy_idx, qp, sign_hiding, deblocking, ctu, w,
+         h) = struct.unpack("<4sBBBBBBII", bitstream[:header_size])
         if magic != MAGIC:
             raise ValueError("not a CPNN bitstream")
         self.policy = POLICIES[policy_idx]
@@ -45,6 +45,7 @@ class FrameDecoder:
             raise ValueError("NN policies need a PnnPredictor to decode")
         self.qp = qp
         self.sign_hiding = bool(sign_hiding)
+        self.deblocking = bool(deblocking)
         self.ctu = ctu
         self.w, self.h = w, h
         self.pnn = pnn
@@ -57,6 +58,8 @@ class FrameDecoder:
         self.unit_coded = np.zeros((uh, uw), dtype=bool)
         self.mode_map = np.full((uh, uw), -1, dtype=np.int32)
         self.depth_map = np.zeros((uh, uw), dtype=np.int32)
+        self.tu_map = np.full((uh, uw), -1, dtype=np.int32)
+        self.tu_counter = 0
 
     # ------------------------------------------------------------ helpers --
 
@@ -111,6 +114,8 @@ class FrameDecoder:
             rec = pred
         self.recon[y:y + n, x:x + n] = rec
         self.unit_coded[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = True
+        self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
+        self.tu_counter += 1
 
     def _decode_pu(self, x, y, n):
         mpms = self._mpms(x, y)
@@ -160,8 +165,15 @@ class FrameDecoder:
         for cy in range(0, self.h, self.ctu):
             for cx in range(0, self.w, self.ctu):
                 self._decode_cu(cx, cy, self.ctu, 0)
+        if self.deblocking:
+            from . import deblock
+
+            final = deblock.deblock_luma(self.recon.astype(np.uint8),
+                                         self.tu_map, self.qp)
+        else:
+            final = self.recon.astype(np.uint8)
         return DecodeResult(
-            reconstruction=self.recon.astype(np.uint8),
+            reconstruction=final,
             mode_map=self.mode_map.copy(),
             qp=self.qp,
             policy=self.policy,

@@ -46,7 +46,7 @@ from .contexts import OFFSETS, make_context_states
 from .nn_intra import PnnPredictor
 
 MAGIC = b"CPNN"
-VERSION = 1
+VERSION = 2
 POLICIES = ("regular", "substitution", "switch")
 PNNS_MODE = 35
 MIN_CU = 8
@@ -97,10 +97,10 @@ class EncodeResult:
 class FrameEncoder:
     def __init__(self, frame_uint8: np.ndarray, qp: int, *,
                  policy: str = "regular", pnn: Optional[PnnPredictor] = None,
-                 ctu_size: int = 64, sign_hiding: bool = False,
+                 ctu_size: int = 64, sign_hiding: bool = True,
                  strong_intra_smoothing: bool = True,
                  rd_candidates: Optional[dict] = None,
-                 use_rdoq: bool = True):
+                 use_rdoq: bool = True, deblocking: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -121,15 +121,21 @@ class FrameEncoder:
         self.lam = rdo.lambda_for_qp(qp)
         self.sqrt_lam = self.lam ** 0.5
         self.use_rdoq = use_rdoq
+        if sign_hiding and not use_rdoq:
+            raise ValueError("sign_hiding requires RDOQ (the quantizer must "
+                             "enforce the hidden sign's parity)")
         self.n_candidates = dict(rdo.NUM_FAST_CANDIDATES)
         if rd_candidates:
             self.n_candidates.update(rd_candidates)
 
+        self.deblocking = deblocking
         uh, uw = self.h // 4, self.w // 4
         self.recon = np.zeros((self.h, self.w), dtype=np.int32)
         self.unit_coded = np.zeros((uh, uw), dtype=bool)
         self.mode_map = np.full((uh, uw), -1, dtype=np.int32)
         self.depth_map = np.zeros((uh, uw), dtype=np.int32)
+        self.tu_map = np.full((uh, uw), -1, dtype=np.int32)
+        self.tu_counter = 0
         self.est_ctx = make_context_states(qp)
 
     # ------------------------------------------------------------ helpers --
@@ -143,7 +149,8 @@ class FrameEncoder:
                 self.unit_coded[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
-                self.est_ctx.copy())
+                self.est_ctx.copy(),
+                self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4].copy())
 
     def _restore(self, x, y, size, snap):
         x1 = min(x + size, self.w)
@@ -153,6 +160,7 @@ class FrameEncoder:
         self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[2]
         self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[3]
         self.est_ctx = snap[4]
+        self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[5]
 
     def _neighbor_mode(self, x: int, y: int, left: bool) -> int:
         """Luma mode of the left/above PU for MPM (DC if unavailable)."""
@@ -261,7 +269,8 @@ class FrameEncoder:
             q = rdoq_mod.rdoq(coeff, self.qp,
                               mode if mode != PNNS_MODE else 0,
                               self.lam, self.est_ctx,
-                              cbf_ctx_offset=1 if tu_depth0 else 0)
+                              cbf_ctx_offset=1 if tu_depth0 else 0,
+                              sign_hiding=self.sign_hiding)
         else:
             q = transform.quantize_np(coeff[None], self.qp)[0]
         cbf = 1 if q.any() else 0
@@ -279,6 +288,8 @@ class FrameEncoder:
             rec = pred
         self.recon[y:y + n, x:x + n] = rec
         self.unit_coded[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = True
+        self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
+        self.tu_counter += 1
         sse = int(((orig - rec) ** 2).sum())
         return sse, TuRecord(x, y, n, cbf, q if cbf else None)
 
@@ -441,9 +452,16 @@ class FrameEncoder:
                 _cost, node = self.compress_cu(cx, cy, self.ctu, 0)
                 trees.append(node)
         bitstream = self._serialize(trees)
+        if self.deblocking:
+            from . import deblock
+
+            final = deblock.deblock_luma(self.recon.astype(np.uint8),
+                                         self.tu_map, self.qp)
+        else:
+            final = self.recon.astype(np.uint8)
         return EncodeResult(
             bitstream=bitstream,
-            reconstruction=self.recon.astype(np.uint8),
+            reconstruction=final,
             num_bits=len(bitstream) * 8,
             ctu_trees=trees,
             mode_map=self.mode_map.copy(),
@@ -456,17 +474,20 @@ class FrameEncoder:
     def _serialize(self, trees) -> bytes:
         return serialize_trees(trees, width=self.w, height=self.h, qp=self.qp,
                                policy=self.policy, ctu_size=self.ctu,
-                               sign_hiding=self.sign_hiding)
+                               sign_hiding=self.sign_hiding,
+                               deblocking=self.deblocking)
 
 
 def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
-                    ctu_size: int, sign_hiding: bool) -> bytes:
+                    ctu_size: int, sign_hiding: bool,
+                    deblocking: bool = False) -> bytes:
     """Real CABAC pass over decided CU trees -> framework bitstream.
 
     Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
     """
-    header = struct.pack("<4sBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
-                         qp, 1 if sign_hiding else 0, ctu_size, width, height)
+    header = struct.pack("<4sBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
+                         qp, 1 if sign_hiding else 0, 1 if deblocking else 0,
+                         ctu_size, width, height)
     enc = cabac.CabacEncoder()
     ctx = make_context_states(qp)
     uh, uw = height // 4, width // 4

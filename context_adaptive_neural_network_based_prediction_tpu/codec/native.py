@@ -75,10 +75,12 @@ def pack_grid_payload(modes: np.ndarray, qcoeffs: np.ndarray, n: int,
 
 
 def serialize_grid(modes: np.ndarray, qcoeffs: np.ndarray, *, width: int,
-                   height: int, n: int, qp: int) -> bytes:
+                   height: int, n: int, qp: int,
+                   deblocking: bool = False) -> bytes:
     """Full bitstream (header + native CABAC payload) for the wavefront grid."""
     from .encoder import MAGIC, POLICIES, VERSION
 
-    header = struct.pack("<4sBBBBBII", MAGIC, VERSION,
-                         POLICIES.index("regular"), qp, 0, n, width, height)
+    header = struct.pack("<4sBBBBBBII", MAGIC, VERSION,
+                         POLICIES.index("regular"), qp, 0,
+                         1 if deblocking else 0, n, width, height)
     return header + pack_grid_payload(modes, qcoeffs, n, qp)

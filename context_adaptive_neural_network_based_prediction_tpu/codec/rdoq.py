@@ -69,11 +69,14 @@ def _ic_rate(abs_level: int, g1_bits0: int, g1_bits1: int, g2_bits0: int,
 
 
 def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
-         ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1) -> np.ndarray:
+         ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1,
+         sign_hiding: bool = False) -> np.ndarray:
     """RD-optimized quantization of one n x n luma TU.
 
     `ctx_states` is the running context array (read-only here; RDOQ uses it
-    as HM uses the loaded RD-sbac estimate).  Returns signed levels.
+    as HM uses the loaded RD-sbac estimate).  Returns signed levels.  With
+    `sign_hiding` the HM RDOQ tail adjusts one level per eligible CG so the
+    hidden sign's parity matches (TComTrQuant.cpp:2533-2660).
     """
     n = coeffs.shape[0]
     log2n = n.bit_length() - 1
@@ -110,7 +113,10 @@ def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
     cost_coeff = np.zeros(total)
     cost_sig = np.zeros(total)
     cost_coeff0 = np.zeros(total)
-    rd_stats_zero = None
+    delta_u = np.zeros(total, dtype=np.int64)      # by blk pos
+    rate_inc_up = np.zeros(total, dtype=np.int64)
+    rate_inc_down = np.zeros(total, dtype=np.int64)
+    sig_rate_delta = np.zeros(total, dtype=np.int64)
 
     block_uncoded_cost = 0.0
     base_cost = 0.0
@@ -199,6 +205,20 @@ def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                 level = best_level
                 dst[blk] = level
                 base_cost += cost_coeff[scan_pos]
+                if not is_last:
+                    sig_rate_delta[blk] = (sig_bits(sig_ctx_inc, 1)
+                                           - sig_bits(sig_ctx_inc, 0))
+                delta_u[blk] = (ld - (level << qbits)) >> (qbits - 8)
+                if level > 0:
+                    rate_now = get_ic_rate(level, one_ctx, abs_ctx, go_rice,
+                                           c1_idx, c2_idx)
+                    rate_inc_up[blk] = get_ic_rate(
+                        level + 1, one_ctx, abs_ctx, go_rice, c1_idx, c2_idx) - rate_now
+                    rate_inc_down[blk] = get_ic_rate(
+                        level - 1, one_ctx, abs_ctx, go_rice, c1_idx, c2_idx) - rate_now
+                else:
+                    rate_inc_up[blk] = _bits(ctx_states,
+                                             OFFSETS.greater1 + one_ctx, 0)
 
                 base_level = (2 + (1 if c2_idx < C2FLAG_NUMBER else 0)) \
                     if c1_idx < C1FLAG_NUMBER else 1
@@ -329,8 +349,75 @@ def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                 break
 
     out = np.zeros(total, dtype=np.int32)
+    abs_sum = 0
     for scan_pos in range(best_last_idx_p1):
         blk = int(scan[scan_pos])
         level = int(dst[blk])
+        abs_sum += level
         out[blk] = -level if flat[blk] < 0 else level
+
+    if sign_hiding and abs_sum >= 2:
+        inv_scale = float(transform.INV_QUANT_SCALES[rem])
+        rd_factor = int(inv_scale * inv_scale * (1 << (2 * per)) / lam / 16 + 0.5)
+        last_cg = -1
+        big = np.iinfo(np.int64).max
+        for subset in range((total - 1) >> 4, -1, -1):
+            sub_pos = subset << 4
+            first_nz, last_nz = cg_size, -1
+            for i in range(cg_size - 1, -1, -1):
+                if out[scan[sub_pos + i]]:
+                    last_nz = i
+                    break
+            for i in range(cg_size):
+                if out[scan[sub_pos + i]]:
+                    first_nz = i
+                    break
+            cg_abs_sum = 0
+            for i in range(max(first_nz, 0), last_nz + 1):
+                cg_abs_sum += abs(int(out[scan[sub_pos + i]]))
+            if last_nz >= 0 and last_cg == -1:
+                last_cg = 1
+            if last_nz - first_nz >= 4:  # SBH_THRESHOLD
+                signbit = 0 if out[scan[sub_pos + first_nz]] > 0 else 1
+                if signbit != (cg_abs_sum & 1):
+                    min_cost, min_pos, final_change = big, -1, 0
+                    start = last_nz if last_cg == 1 else cg_size - 1
+                    for i in range(start, -1, -1):
+                        blk = int(scan[sub_pos + i])
+                        if out[blk] != 0:
+                            cost_up = rd_factor * (-int(delta_u[blk])) + int(rate_inc_up[blk])
+                            cost_down = (rd_factor * int(delta_u[blk])
+                                         + int(rate_inc_down[blk])
+                                         - (int(sig_rate_delta[blk])
+                                            if abs(int(out[blk])) == 1 else 0))
+                            if last_cg == 1 and last_nz == i and abs(int(out[blk])) == 1:
+                                cost_down -= 4 << 15
+                            if cost_up < cost_down:
+                                cur_cost, cur_change = cost_up, 1
+                            else:
+                                cur_change = -1
+                                if i == first_nz and abs(int(out[blk])) == 1:
+                                    cur_cost = big
+                                else:
+                                    cur_cost = cost_down
+                        else:
+                            cur_cost = (rd_factor * (-abs(int(delta_u[blk])))
+                                        + (1 << 15) + int(rate_inc_up[blk])
+                                        + int(sig_rate_delta[blk]))
+                            cur_change = 1
+                            if i < first_nz:
+                                this_sign = 0 if flat[blk] >= 0 else 1
+                                if this_sign != signbit:
+                                    cur_cost = big
+                        if cur_cost < min_cost:
+                            min_cost, final_change, min_pos = cur_cost, cur_change, blk
+                    if (out[min_pos] == entropy_max
+                            or out[min_pos] == -(entropy_max + 1)):
+                        final_change = -1
+                    if flat[min_pos] >= 0:
+                        out[min_pos] += final_change
+                    else:
+                        out[min_pos] -= final_change
+            if last_cg == 1:
+                last_cg = 0
     return out.reshape(n, n)
