@@ -82,8 +82,10 @@ class TestRdoqInEncoder:
                           res.reconstruction.astype(int)) ** 2).sum())
             return sse + lam * res.num_bits
 
-        r_off = encoder.encode_frame(frame, qp, use_rdoq=False)
-        r_on = encoder.encode_frame(frame, qp, use_rdoq=True)
+        r_off = encoder.encode_frame(frame, qp, use_rdoq=False,
+                                     sign_hiding=False)
+        r_on = encoder.encode_frame(frame, qp, use_rdoq=True,
+                                    sign_hiding=False)
         assert rd_cost(r_on) < rd_cost(r_off)
 
     def test_decoder_exact_with_rdoq(self):
