@@ -48,7 +48,7 @@ class FrameDecoder:
         self.deblocking = bool(deblocking)
         self.ctu = ctu
         self.w, self.h = w, h
-        self.pnn = pnn
+        self.pnn = pnn.bind_qp(qp) if pnn is not None else None
         self.strong_smoothing = strong_intra_smoothing
         self.dec = cabac.CabacDecoder(bitstream[header_size:])
         self.ctx = make_context_states(qp)

@@ -114,7 +114,8 @@ class FrameEncoder:
         self.h, self.w = frame.shape
         self.qp = qp
         self.policy = policy
-        self.pnn = pnn
+        # QP-based single/pair model selection (TComPrediction.cpp:155-170).
+        self.pnn = pnn.bind_qp(qp) if pnn is not None else None
         self.ctu = ctu_size
         self.sign_hiding = sign_hiding
         self.strong_smoothing = strong_intra_smoothing

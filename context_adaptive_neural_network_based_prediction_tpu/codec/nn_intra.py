@@ -32,10 +32,21 @@ QP_PAIR_THRESHOLD = 32  # QP >= 32 selects artifact-trained ("pair") models
 
 @dataclass
 class PnnBundle:
-    """Per-width PNN models + the training mean, as used inside the codec."""
+    """Per-width PNN models + the training mean, as used inside the codec.
+
+    `pair_params` optionally holds artifact-trained ("pair") models; at
+    QP >= 32 the codec selects them over the clean-trained set
+    (`TComPrediction.cpp:155-170`).
+    """
     params: Dict[int, dict]            # width -> param pytree
     is_fully_connected: Dict[int, bool]
     mean_training: float
+    pair_params: Optional[Dict[int, dict]] = None
+
+    def params_for_qp(self, qp: int) -> Dict[int, dict]:
+        if self.pair_params is not None and qp >= QP_PAIR_THRESHOLD:
+            return self.pair_params
+        return self.params
 
     @classmethod
     def from_checkpoints(cls, paths: Dict[int, str], mean_training: float,
@@ -94,10 +105,22 @@ def extract_context(recon: np.ndarray, x: int, y: int, n: int,
 class PnnPredictor:
     """Normative PNN prediction for one frame encode/decode."""
     bundle: PnnBundle
+    qp: Optional[int] = None   # set by the codec; selects single vs pair models
     _cache: dict = field(default_factory=dict)
 
+    def bind_qp(self, qp: int) -> "PnnPredictor":
+        """Codec-side model selection (QP >= 32 -> pair models when present)."""
+        if self.qp == qp:
+            return self
+        return PnnPredictor(self.bundle, qp)
+
+    @property
+    def _params(self):
+        return self.bundle.params_for_qp(self.qp) if self.qp is not None \
+            else self.bundle.params
+
     def supports(self, n: int) -> bool:
-        return n in self.bundle.params
+        return n in self._params
 
     def predict(self, recon: np.ndarray, x: int, y: int, n: int,
                 flags: np.ndarray) -> np.ndarray:
@@ -115,7 +138,7 @@ class PnnPredictor:
             return self._cache[key]
         if len(self._cache) > 4096:
             self._cache.clear()
-        params = self.bundle.params[n]
+        params = self._params[n]
         is_fc = self.bundle.is_fully_connected[n]
         if is_fc:
             inputs = np.concatenate(

@@ -270,6 +270,32 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_wavefront_batch(height: int, width: int, n: int, qp: int):
+    import jax
+
+    run = _jitted_wavefront(height, width, n, qp)
+    return jax.jit(jax.vmap(run))
+
+
+def encode_frames_wavefront_batch(frames_uint8: np.ndarray, qp: int, *,
+                                  block_size: int = 16):
+    """Encodes a batch of frames concurrently (vmapped wavefront).
+
+    Independent frames pipeline through the wavefront steps together, hiding
+    the per-step latency that bounds single-frame throughput - the intended
+    production serving mode.  Returns (recons (B,H,W) uint8,
+    modes (B,nby,nbx), qcoeffs (B,nby,nbx,n,n)) as numpy arrays.
+    """
+    import jax.numpy as jnp
+
+    b, h, w = frames_uint8.shape
+    run = _jitted_wavefront_batch(h, w, block_size, qp)
+    recons, modes, qcoeffs = run(jnp.asarray(frames_uint8))
+    return (np.asarray(recons).astype(np.uint8), np.asarray(modes),
+            np.asarray(qcoeffs))
+
+
 def encode_frame_wavefront(frame_uint8: np.ndarray, qp: int, *,
                            block_size: int = 16, serialize: bool = True,
                            use_native_pack: bool = True):
