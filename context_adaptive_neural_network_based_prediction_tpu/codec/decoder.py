@@ -35,9 +35,9 @@ class DecodeResult:
 class FrameDecoder:
     def __init__(self, bitstream: bytes, *, pnn: Optional[PnnPredictor] = None,
                  strong_intra_smoothing: bool = True):
-        header_size = struct.calcsize("<4sBBBBBBII")
-        (magic, version, policy_idx, qp, sign_hiding, deblocking, ctu, w,
-         h) = struct.unpack("<4sBBBBBBII", bitstream[:header_size])
+        header_size = struct.calcsize("<4sBBBBBBBII")
+        (magic, version, policy_idx, qp, sign_hiding, deblocking, max_tu_depth,
+         ctu, w, h) = struct.unpack("<4sBBBBBBBII", bitstream[:header_size])
         if magic != MAGIC:
             raise ValueError("not a CPNN bitstream")
         self.policy = POLICIES[policy_idx]
@@ -46,6 +46,7 @@ class FrameDecoder:
         self.qp = qp
         self.sign_hiding = bool(sign_hiding)
         self.deblocking = bool(deblocking)
+        self.max_tu_depth = int(max_tu_depth)
         self.ctu = ctu
         self.w, self.h = w, h
         self.pnn = pnn.bind_qp(qp) if pnn is not None else None
@@ -117,6 +118,24 @@ class FrameDecoder:
         self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
         self.tu_counter += 1
 
+    def _decode_tu_tree(self, x, y, size, depth, mode):
+        forced = size > MAX_TU
+        half = size // 2
+        quadrants = ((x, y), (x + half, y), (x, y + half), (x + half, y + half))
+        if forced:
+            for (cx, cy) in quadrants:
+                self._decode_tu_tree(cx, cy, half, depth + 1, mode)
+            return
+        split = False
+        if size > 4 and depth < self.max_tu_depth:
+            flag_ctx = OFFSETS.trans_subdiv + (5 - (size.bit_length() - 1))
+            split = bool(self.dec.decode_bin(self.ctx, flag_ctx))
+        if split:
+            for (cx, cy) in quadrants:
+                self._decode_tu_tree(cx, cy, half, depth + 1, mode)
+            return
+        self._decode_tu(x, y, size, mode, tu_depth0=(depth == 0))
+
     def _decode_pu(self, x, y, n):
         mpms = self._mpms(x, y)
         if self.policy == "switch" and self.dec.decode_bin(self.ctx, OFFSETS.pnns_flag):
@@ -124,12 +143,7 @@ class FrameDecoder:
         else:
             mode = syntax.decode_intra_mode(self.dec, self.ctx, mpms)
         self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
-        if n > MAX_TU:
-            half = n // 2
-            for (tx, ty) in ((x, y), (x + half, y), (x, y + half), (x + half, y + half)):
-                self._decode_tu(tx, ty, half, mode, tu_depth0=False)
-        else:
-            self._decode_tu(x, y, n, mode, tu_depth0=True)
+        self._decode_tu_tree(x, y, n, 0, mode)
 
     def _decode_cu(self, x, y, size, depth):
         if x >= self.w or y >= self.h:

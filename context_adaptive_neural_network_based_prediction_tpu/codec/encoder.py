@@ -46,7 +46,7 @@ from .contexts import OFFSETS, make_context_states
 from .nn_intra import PnnPredictor
 
 MAGIC = b"CPNN"
-VERSION = 2
+VERSION = 3
 POLICIES = ("regular", "substitution", "switch")
 PNNS_MODE = 35
 MIN_CU = 8
@@ -100,7 +100,8 @@ class FrameEncoder:
                  ctu_size: int = 64, sign_hiding: bool = True,
                  strong_intra_smoothing: bool = True,
                  rd_candidates: Optional[dict] = None,
-                 use_rdoq: bool = True, deblocking: bool = True):
+                 use_rdoq: bool = True, deblocking: bool = True,
+                 max_tu_depth: int = 2):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -130,6 +131,7 @@ class FrameEncoder:
             self.n_candidates.update(rd_candidates)
 
         self.deblocking = deblocking
+        self.max_tu_depth = max_tu_depth
         uh, uw = self.h // 4, self.w // 4
         self.recon = np.zeros((self.h, self.w), dtype=np.int32)
         self.unit_coded = np.zeros((uh, uw), dtype=bool)
@@ -294,23 +296,68 @@ class FrameEncoder:
         sse = int(((orig - rec) ** 2).sum())
         return sse, TuRecord(x, y, n, cbf, q if cbf else None)
 
+    def _code_tu_tree(self, x, y, size, depth, mode, preds=None):
+        """Recursive TU quadtree RD search (xRecurIntraCodingLumaQT analog).
+
+        Returns (sse, frac_bits, [TuRecord leaves in coding order]); commits
+        the winning reconstruction/contexts.
+        """
+        forced = size > MAX_TU
+        half = size // 2
+        quadrants = ((x, y), (x + half, y), (x, y + half), (x + half, y + half))
+        if forced:
+            sse, bits, tus = 0, 0.0, []
+            for (cx, cy) in quadrants:
+                s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode)
+                sse += s
+                bits += b
+                tus += t
+            return sse, bits, tus
+
+        flag_present = size > 4 and depth < self.max_tu_depth
+        flag_ctx = OFFSETS.trans_subdiv + (5 - (size.bit_length() - 1))
+        pred = None
+        if preds is not None and depth == 0:
+            pred = preds[-1] if mode == PNNS_MODE else preds[mode]
+        if not flag_present:
+            counter = rdo.BitCounter()
+            s, turec = self._code_tu(x, y, size, mode, self.est_ctx, counter,
+                                     tu_depth0=(depth == 0), pred=pred)
+            return s, counter.frac_bits, [turec]
+
+        pre = self._save(x, y, size)
+        cw = rdo.BitCounter()
+        cw.encode_bin(0, self.est_ctx, flag_ctx)
+        s_w, turec = self._code_tu(x, y, size, mode, self.est_ctx, cw,
+                                   tu_depth0=(depth == 0), pred=pred)
+        bits_w = cw.frac_bits
+        cost_w = s_w + self.lam * bits_w
+        state_w = self._save(x, y, size)
+        self._restore(x, y, size, pre)
+
+        cs = rdo.BitCounter()
+        cs.encode_bin(1, self.est_ctx, flag_ctx)
+        sse_s, bits_s, tus_s = 0, cs.frac_bits, []
+        for (cx, cy) in quadrants:
+            s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode)
+            sse_s += s
+            bits_s += b
+            tus_s += t
+        cost_s = sse_s + self.lam * bits_s
+        if cost_w <= cost_s:
+            self._restore(x, y, size, state_w)
+            return s_w, bits_w, [turec]
+        return sse_s, bits_s, tus_s
+
     def _try_pu(self, x, y, n, mode, mpms, preds=None) -> tuple:
         """Evaluate + commit one PU with a given mode.  Returns (cost, rec)."""
         counter = rdo.BitCounter()
         self._encode_mode_bits(counter, self.est_ctx, mode, mpms)
         pu = PuRecord(x, y, n, mode)
-        sse = 0
-        tu_depth0 = n <= MAX_TU
-        for tx, ty, tn in self._tu_layout(x, y, n):
-            pred = None
-            if preds is not None and tn == n:
-                pred = preds[-1] if mode == PNNS_MODE else preds[mode]
-            s, turec = self._code_tu(tx, ty, tn, mode, self.est_ctx, counter,
-                                     tu_depth0=tu_depth0, pred=pred)
-            sse += s
-            pu.tus.append(turec)
+        sse, tu_bits, tus = self._code_tu_tree(x, y, n, 0, mode, preds)
+        pu.tus = tus
         self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
-        cost = sse + self.lam * counter.frac_bits
+        cost = sse + self.lam * (counter.frac_bits + tu_bits)
         return cost, pu
 
     def _search_pu(self, x, y, n):
@@ -476,19 +523,20 @@ class FrameEncoder:
         return serialize_trees(trees, width=self.w, height=self.h, qp=self.qp,
                                policy=self.policy, ctu_size=self.ctu,
                                sign_hiding=self.sign_hiding,
-                               deblocking=self.deblocking)
+                               deblocking=self.deblocking,
+                               max_tu_depth=self.max_tu_depth)
 
 
 def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                     ctu_size: int, sign_hiding: bool,
-                    deblocking: bool = False) -> bytes:
+                    deblocking: bool = False, max_tu_depth: int = 0) -> bytes:
     """Real CABAC pass over decided CU trees -> framework bitstream.
 
     Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
     """
-    header = struct.pack("<4sBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
+    header = struct.pack("<4sBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
                          qp, 1 if sign_hiding else 0, 1 if deblocking else 0,
-                         ctu_size, width, height)
+                         max_tu_depth, ctu_size, width, height)
     enc = cabac.CabacEncoder()
     ctx = make_context_states(qp)
     uh, uw = height // 4, width // 4
@@ -547,13 +595,33 @@ def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                 syntax.encode_intra_mode(enc, ctx, pu.mode, mpms)
             mode_map[pu.y // 4:(pu.y + pu.n) // 4,
                      pu.x // 4:(pu.x + pu.n) // 4] = pu.mode
-            for tu in pu.tus:
-                enc.encode_bin(tu.cbf, ctx,
-                               OFFSETS.cbf_luma + (1 if tu.n == pu.n else 0))
-                if tu.cbf:
+            leaves = {(tu.x, tu.y, tu.n): tu for tu in pu.tus}
+
+            def ser_tus(tx, ty, tsize, tdepth):
+                forced = tsize > MAX_TU
+                half = tsize // 2
+                if forced:
+                    for (cx, cy) in ((tx, ty), (tx + half, ty),
+                                     (tx, ty + half), (tx + half, ty + half)):
+                        ser_tus(cx, cy, half, tdepth + 1)
+                    return
+                leaf = leaves.get((tx, ty, tsize))
+                if tsize > 4 and tdepth < max_tu_depth:
+                    flag_ctx = OFFSETS.trans_subdiv + (5 - (tsize.bit_length() - 1))
+                    enc.encode_bin(0 if leaf is not None else 1, ctx, flag_ctx)
+                if leaf is None:
+                    for (cx, cy) in ((tx, ty), (tx + half, ty),
+                                     (tx, ty + half), (tx + half, ty + half)):
+                        ser_tus(cx, cy, half, tdepth + 1)
+                    return
+                enc.encode_bin(leaf.cbf, ctx,
+                               OFFSETS.cbf_luma + (1 if tdepth == 0 else 0))
+                if leaf.cbf:
                     syntax.encode_coefficients(
-                        enc, ctx, tu.coeffs,
+                        enc, ctx, leaf.coeffs,
                         pu.mode if pu.mode != PNNS_MODE else 0, sign_hiding)
+
+            ser_tus(pu.x, pu.y, pu.n, 0)
         depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
         coded[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = True
 
