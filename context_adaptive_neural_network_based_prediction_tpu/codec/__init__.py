@@ -1,1 +1,1 @@
-from . import cabac  # noqa: F401
+from . import cabac, contexts, scans, syntax, rdo, rdoq, deblock  # noqa: F401

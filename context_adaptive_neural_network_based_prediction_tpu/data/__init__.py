@@ -1,1 +1,1 @@
-from . import extraction, masking  # noqa: F401
+from . import extraction, masking, datasets, pipeline  # noqa: F401

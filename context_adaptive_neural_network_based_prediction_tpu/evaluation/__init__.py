@@ -1,1 +1,1 @@
-from . import performance, stats, maps, prediction_comparison  # noqa: F401
+from . import performance, stats, maps, prediction_comparison, hm_driver  # noqa: F401

@@ -1,1 +1,1 @@
-from . import pnn, losses  # noqa: F401
+from . import pnn, losses, training, zoo, ipfcn, visualization  # noqa: F401

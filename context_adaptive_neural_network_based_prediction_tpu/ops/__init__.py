@@ -1,1 +1,1 @@
-from . import intra  # noqa: F401
+from . import intra, transform, reference_samples  # noqa: F401

@@ -1,1 +1,1 @@
-from . import wavefront  # noqa: F401
+from . import wavefront, mesh, tiled, sharded_training  # noqa: F401
