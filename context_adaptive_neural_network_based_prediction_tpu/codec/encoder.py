@@ -245,13 +245,6 @@ class FrameEncoder:
 
     # ---------------------------------------------------------- PU search --
 
-    def _tu_layout(self, x, y, n):
-        if n <= MAX_TU:
-            return [(x, y, n)]
-        half = n // 2
-        return [(x, y, half), (x + half, y, half),
-                (x, y + half, half), (x + half, y + half, half)]
-
     def _code_tu(self, x, y, n, mode, counter_ctx, counter, *, tu_depth0: bool,
                  pred: Optional[np.ndarray] = None):
         """Transform-quant-recon one TU with `mode` prediction at current state.

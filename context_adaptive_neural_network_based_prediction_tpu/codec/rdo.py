@@ -27,9 +27,6 @@ def lambda_for_qp(qp: int) -> float:
 
 # ------------------------------------------------------------------ SATD ----
 
-_H8 = None
-
-
 def _hadamard(n: int) -> np.ndarray:
     h = np.array([[1]], dtype=np.int64)
     while h.shape[0] < n:
