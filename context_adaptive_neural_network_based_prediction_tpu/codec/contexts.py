@@ -29,6 +29,8 @@ INIT_LAST_Y = INIT_LAST_X
 INIT_GREATER1 = [140, 92, 137, 138, 140, 152, 138, 139, 153, 74, 149, 92, 139, 107, 122, 152]
 INIT_GREATER2 = [138, 153, 136, 167]
 INIT_TRANS_SUBDIV = [153, 138, 138]
+INIT_SAO_MERGE = [153]
+INIT_SAO_TYPE = [200]
 # PNNS flag context for the "switch" codec behaviour (hm_16_15_switch
 # ContextTables.h:239-247: init value 154 for every slice type).
 INIT_PNNS_FLAG = [154]
@@ -53,6 +55,8 @@ def _build_layout():
         ("greater2", INIT_GREATER2),
         ("pnns_flag", INIT_PNNS_FLAG),
         ("trans_subdiv", INIT_TRANS_SUBDIV),
+        ("sao_merge", INIT_SAO_MERGE),
+        ("sao_type", INIT_SAO_TYPE),
     ]
     offsets = Offsets()
     init_values = []

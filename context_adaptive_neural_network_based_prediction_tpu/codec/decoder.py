@@ -35,9 +35,10 @@ class DecodeResult:
 class FrameDecoder:
     def __init__(self, bitstream: bytes, *, pnn: Optional[PnnPredictor] = None,
                  strong_intra_smoothing: bool = True):
-        header_size = struct.calcsize("<4sBBBBBBBII")
+        header_size = struct.calcsize("<4sBBBBBBBBII")
         (magic, version, policy_idx, qp, sign_hiding, deblocking, max_tu_depth,
-         ctu, w, h) = struct.unpack("<4sBBBBBBBII", bitstream[:header_size])
+         sao_on, ctu, w, h) = struct.unpack("<4sBBBBBBBBII",
+                                            bitstream[:header_size])
         if magic != MAGIC:
             raise ValueError("not a CPNN bitstream")
         self.policy = POLICIES[policy_idx]
@@ -47,6 +48,7 @@ class FrameDecoder:
         self.sign_hiding = bool(sign_hiding)
         self.deblocking = bool(deblocking)
         self.max_tu_depth = int(max_tu_depth)
+        self.sao_on = bool(sao_on)
         self.ctu = ctu
         self.w, self.h = w, h
         self.pnn = pnn.bind_qp(qp) if pnn is not None else None
@@ -179,6 +181,14 @@ class FrameDecoder:
         for cy in range(0, self.h, self.ctu):
             for cx in range(0, self.w, self.ctu):
                 self._decode_cu(cx, cy, self.ctu, 0)
+        sao_grid = None
+        if self.sao_on:
+            from . import sao as sao_mod
+
+            n_ctu_y = (self.h + self.ctu - 1) // self.ctu
+            n_ctu_x = (self.w + self.ctu - 1) // self.ctu
+            sao_grid = sao_mod.decode_params(self.dec, self.ctx,
+                                             n_ctu_y, n_ctu_x)
         if self.deblocking:
             from . import deblock
 
@@ -186,6 +196,10 @@ class FrameDecoder:
                                          self.tu_map, self.qp)
         else:
             final = self.recon.astype(np.uint8)
+        if sao_grid is not None:
+            from . import sao as sao_mod
+
+            final = sao_mod.apply_sao(final, sao_grid, self.ctu)
         return DecodeResult(
             reconstruction=final,
             mode_map=self.mode_map.copy(),

@@ -46,7 +46,7 @@ from .contexts import OFFSETS, make_context_states
 from .nn_intra import PnnPredictor
 
 MAGIC = b"CPNN"
-VERSION = 3
+VERSION = 4
 POLICIES = ("regular", "substitution", "switch")
 PNNS_MODE = 35
 MIN_CU = 8
@@ -101,7 +101,7 @@ class FrameEncoder:
                  strong_intra_smoothing: bool = True,
                  rd_candidates: Optional[dict] = None,
                  use_rdoq: bool = True, deblocking: bool = True,
-                 max_tu_depth: int = 2):
+                 max_tu_depth: int = 2, sao: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -131,6 +131,7 @@ class FrameEncoder:
             self.n_candidates.update(rd_candidates)
 
         self.deblocking = deblocking
+        self.sao = sao
         self.max_tu_depth = max_tu_depth
         uh, uw = self.h // 4, self.w // 4
         self.recon = np.zeros((self.h, self.w), dtype=np.int32)
@@ -492,7 +493,6 @@ class FrameEncoder:
             for cx in range(0, self.w, self.ctu):
                 _cost, node = self.compress_cu(cx, cy, self.ctu, 0)
                 trees.append(node)
-        bitstream = self._serialize(trees)
         if self.deblocking:
             from . import deblock
 
@@ -500,6 +500,15 @@ class FrameEncoder:
                                          self.tu_map, self.qp)
         else:
             final = self.recon.astype(np.uint8)
+        sao_grid = None
+        if self.sao:
+            from . import sao as sao_mod
+
+            sao_grid = sao_mod.estimate_frame(
+                self.frame.astype(np.uint8), final, self.ctu, self.lam)
+            final = sao_mod.apply_sao(final, sao_grid, self.ctu)
+        self._sao_grid = sao_grid
+        bitstream = self._serialize(trees)
         return EncodeResult(
             bitstream=bitstream,
             reconstruction=final,
@@ -517,19 +526,22 @@ class FrameEncoder:
                                policy=self.policy, ctu_size=self.ctu,
                                sign_hiding=self.sign_hiding,
                                deblocking=self.deblocking,
-                               max_tu_depth=self.max_tu_depth)
+                               max_tu_depth=self.max_tu_depth,
+                               sao_grid=self._sao_grid)
 
 
 def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                     ctu_size: int, sign_hiding: bool,
-                    deblocking: bool = False, max_tu_depth: int = 0) -> bytes:
+                    deblocking: bool = False, max_tu_depth: int = 0,
+                    sao_grid=None) -> bytes:
     """Real CABAC pass over decided CU trees -> framework bitstream.
 
     Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
     """
-    header = struct.pack("<4sBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
+    header = struct.pack("<4sBBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
                          qp, 1 if sign_hiding else 0, 1 if deblocking else 0,
-                         max_tu_depth, ctu_size, width, height)
+                         max_tu_depth, 1 if sao_grid is not None else 0,
+                         ctu_size, width, height)
     enc = cabac.CabacEncoder()
     ctx = make_context_states(qp)
     uh, uw = height // 4, width // 4
@@ -620,6 +632,10 @@ def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
 
     for node in trees:
         ser_cu(node)
+    if sao_grid is not None:
+        from . import sao as sao_mod
+
+        sao_mod.encode_params(enc, ctx, sao_grid)
     return header + enc.terminate_and_finish()
 
 
