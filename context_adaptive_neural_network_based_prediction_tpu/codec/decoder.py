@@ -100,8 +100,7 @@ class FrameDecoder:
         if rs.use_filtered_for_mode(mode, n):
             ref_top, ref_left = rs.filter_reference_samples(
                 ref_top, ref_left, n, strong_intra_smoothing=self.strong_smoothing)
-        preds = intra.predict_all_modes_np(ref_top[None], ref_left[None])
-        return preds[0, mode]
+        return intra.predict_one_mode_np(ref_top, ref_left, mode)
 
     def _decode_tu(self, x, y, n, mode, tu_depth0: bool):
         pred = self._predict(x, y, n, mode)

@@ -244,6 +244,19 @@ class FrameEncoder:
             preds = np.concatenate([preds, pnns], axis=0)
         return preds, flags
 
+    def _predict_single(self, x, y, n, mode):
+        """One-mode prediction for TU reconstruction (35x cheaper than the
+        full sweep; NN modes route through the PnnPredictor)."""
+        flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n, self.h, self.w)
+        if (self.policy == "substitution" and mode == 18) or mode == PNNS_MODE:
+            return self.pnn.predict(self.recon, x, y, n, flags)
+        ref_top, ref_left = rs.fill_reference_samples(self.recon, x, y, n, flags)
+        if rs.use_filtered_for_mode(mode, n):
+            ref_top, ref_left = rs.filter_reference_samples(
+                ref_top, ref_left, n,
+                strong_intra_smoothing=self.strong_smoothing)
+        return intra.predict_one_mode_np(ref_top, ref_left, mode)
+
     # ---------------------------------------------------------- PU search --
 
     def _code_tu(self, x, y, n, mode, counter_ctx, counter, *, tu_depth0: bool,
@@ -254,8 +267,7 @@ class FrameEncoder:
         `counter` (cbf + coefficients).
         """
         if pred is None:
-            preds, _flags = self._predict_modes(x, y, n)
-            pred = preds[-1] if mode == PNNS_MODE else preds[mode]
+            pred = self._predict_single(x, y, n, mode)
         orig = self.frame[y:y + n, x:x + n]
         resi = orig - pred
         use_dst = n == 4

@@ -18,16 +18,18 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "cabac_pack.cpp")
+_SRC_RDOQ = os.path.join(_REPO_ROOT, "native", "rdoq.cpp")
 _LIB = os.path.join(_REPO_ROOT, "native", "libcabac_pack.so")
 _lock = threading.Lock()
 _lib = None
 
 
 def _build_library() -> str:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RDOQ))
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= newest_src:
         return _LIB
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RDOQ],
         check=True, capture_output=True)
     return _LIB
 
@@ -42,6 +44,12 @@ def load_library():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
+            lib.rdoq_tu.restype = ctypes.c_int
+            lib.rdoq_tu.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ]
             _lib = lib
     return _lib
@@ -84,3 +92,22 @@ def serialize_grid(modes: np.ndarray, qcoeffs: np.ndarray, *, width: int,
                          POLICIES.index("regular"), qp, 0,
                          1 if deblocking else 0, 0, 0, n, width, height)
     return header + pack_grid_payload(modes, qcoeffs, n, qp)
+
+
+def rdoq_tu_native(coeffs: np.ndarray, qp: int, mode: int, lam: float,
+                   ctx_states: np.ndarray, cbf_ctx_offset: int,
+                   sign_hiding: bool) -> np.ndarray:
+    """Native RDOQ for one TU (identical output to codec.rdoq.rdoq_python)."""
+    lib = load_library()
+    n = coeffs.shape[0]
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
+    ctx = np.ascontiguousarray(ctx_states, dtype=np.int32)
+    out = np.empty((n, n), dtype=np.int32)
+    rc = lib.rdoq_tu(
+        coeffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, qp, mode,
+        float(lam), ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(cbf_ctx_offset), 1 if sign_hiding else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError(f"rdoq_tu failed with code {rc}")
+    return out

@@ -71,6 +71,19 @@ def _ic_rate(abs_level: int, g1_bits0: int, g1_bits1: int, g2_bits0: int,
 def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
          ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1,
          sign_hiding: bool = False) -> np.ndarray:
+    """Dispatches to the native RDOQ when available (identical output)."""
+    from . import native
+
+    if native.available():
+        return native.rdoq_tu_native(coeffs, qp, mode, lam, ctx_states,
+                                     cbf_ctx_offset, sign_hiding)
+    return rdoq_python(coeffs, qp, mode, lam, ctx_states,
+                       cbf_ctx_offset=cbf_ctx_offset, sign_hiding=sign_hiding)
+
+
+def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
+                ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1,
+                sign_hiding: bool = False) -> np.ndarray:
     """RD-optimized quantization of one n x n luma TU.
 
     `ctx_states` is the running context array (read-only here; RDOQ uses it
