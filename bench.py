@@ -7,25 +7,38 @@ The measured quantity is the fully-jitted wavefront intra encoder
 (`parallel/wavefront.py`) on a 1920x1088 luma frame at QP 32: reference-sample
 construction, 35-mode prediction, per-mode DCT/quant/dequant/iDCT, RD-proxy
 mode decision and reconstruction for all 8160 16x16 blocks - the complete
-device side of the encoder.  Host CABAC packing (a separate serial stage, C++
-port planned) is excluded; per-frame completion is forced by fetching the
-(small) mode plane.
+device side of the encoder.  Host CABAC packing (the native C++ packer) is a
+separate serial stage; per-frame completion is forced by fetching the (small)
+mode plane.
 
 vs_baseline compares against HM-16.15's TAppEncoderStatic built from the
 reference tree and measured on this machine encoding the same frame
 (All-Intra, intra_main_rext.cfg, QP 32, 4:0:0): 7.963 s/frame = 0.1256 fps
 single-threaded (see BASELINE_HM.json).
+
+Robustness: the axon TPU tunnel on this rig occasionally wedges (a killed
+client can leave the remote terminal's execution queue stuck for a long
+time).  The measurement therefore runs in a watchdog subprocess; if it cannot
+complete, the last *measured* value recorded in bench_last_tpu.json is
+reported with the metric name suffixed "_cached" so the regression record
+stays honest.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
 HM_BASELINE_FPS = 0.1256  # measured: /tmp HM-16.15 build, 1920x1088 AI QP32
+WATCHDOG_S = 480
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_last_tpu.json")
 
 
 def bench_frame(h=1088, w=1920):
+    import numpy as np
+
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w]
     f = (120 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
@@ -33,7 +46,8 @@ def bench_frame(h=1088, w=1920):
     return np.clip(f, 0, 255).astype(np.uint8)
 
 
-def main():
+def _measure():
+    import numpy as np
     import jax.numpy as jnp
 
     from context_adaptive_neural_network_based_prediction_tpu.parallel import (
@@ -44,9 +58,8 @@ def main():
     run = wavefront._jitted_wavefront(h, w, 16, qp)
     fdev = jnp.asarray(frame)
 
-    # Warm-up / compile.
     recon, modes, q = run(fdev)
-    np.asarray(modes)
+    np.asarray(modes)  # warm-up / compile
 
     reps = 5
     t0 = time.time()
@@ -54,14 +67,52 @@ def main():
         recon, modes, q = run(fdev)
         np.asarray(modes)  # forces completion of the whole program
     elapsed = time.time() - t0
-    fps = reps / elapsed
+    return reps / elapsed
 
-    print(json.dumps({
-        "metric": "wavefront_intra_device_encode_fps_1080p",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
-    }))
+
+def main():
+    if os.environ.get("_BENCH_CHILD") == "1":
+        fps = _measure()
+        print(json.dumps({"fps": fps}))
+        return
+
+    env = dict(os.environ, _BENCH_CHILD="1")
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=WATCHDOG_S)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        fps = json.loads(line)["fps"]
+        with open(CACHE_PATH, "w") as f:
+            json.dump({"fps": fps, "measured_at": time.time()}, f)
+        print(json.dumps({
+            "metric": "wavefront_intra_device_encode_fps_1080p",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
+        }))
+        return
+    except Exception:
+        pass
+
+    # TPU path failed (wedged tunnel / timeout): report the last measured
+    # value, clearly labelled.
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            fps = json.load(f)["fps"]
+        print(json.dumps({
+            "metric": "wavefront_intra_device_encode_fps_1080p_cached",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "wavefront_intra_device_encode_fps_1080p",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":
