@@ -35,10 +35,10 @@ class DecodeResult:
 class FrameDecoder:
     def __init__(self, bitstream: bytes, *, pnn: Optional[PnnPredictor] = None,
                  strong_intra_smoothing: bool = True):
-        header_size = struct.calcsize("<4sBBBBBBBBII")
+        header_size = struct.calcsize("<4sBBBBBBBBBII")
         (magic, version, policy_idx, qp, sign_hiding, deblocking, max_tu_depth,
-         sao_on, ctu, w, h) = struct.unpack("<4sBBBBBBBBII",
-                                            bitstream[:header_size])
+         sao_on, tskip_on, ctu, w, h) = struct.unpack(
+             "<4sBBBBBBBBBII", bitstream[:header_size])
         if magic != MAGIC:
             raise ValueError("not a CPNN bitstream")
         self.policy = POLICIES[policy_idx]
@@ -49,6 +49,7 @@ class FrameDecoder:
         self.deblocking = bool(deblocking)
         self.max_tu_depth = int(max_tu_depth)
         self.sao_on = bool(sao_on)
+        self.tskip_on = bool(tskip_on)
         self.ctu = ctu
         self.w, self.h = w, h
         self.pnn = pnn.bind_qp(qp) if pnn is not None else None
@@ -106,11 +107,19 @@ class FrameDecoder:
         pred = self._predict(x, y, n, mode)
         cbf = self.dec.decode_bin(self.ctx, OFFSETS.cbf_luma + (1 if tu_depth0 else 0))
         if cbf:
+            tskip = 0
+            if self.tskip_on and n == 4:
+                tskip = self.dec.decode_bin(self.ctx, OFFSETS.transform_skip)
             q = syntax.decode_coefficients(
                 self.dec, self.ctx, n,
                 mode if mode != PNNS_MODE else 0, self.sign_hiding)
             deq = transform.dequantize_np(q[None], self.qp)[0]
-            rec_resi = transform.inverse_transform_np(deq[None], use_dst=(n == 4))[0]
+            if tskip:
+                tshift = transform.transform_shift(2)
+                rec_resi = (deq + (1 << (tshift - 1))) >> tshift
+            else:
+                rec_resi = transform.inverse_transform_np(
+                    deq[None], use_dst=(n == 4))[0]
             rec = np.clip(pred + rec_resi, 0, 255)
         else:
             rec = pred

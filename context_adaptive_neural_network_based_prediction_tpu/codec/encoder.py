@@ -46,7 +46,7 @@ from .contexts import OFFSETS, make_context_states
 from .nn_intra import PnnPredictor
 
 MAGIC = b"CPNN"
-VERSION = 4
+VERSION = 5
 POLICIES = ("regular", "substitution", "switch")
 PNNS_MODE = 35
 MIN_CU = 8
@@ -60,6 +60,7 @@ class TuRecord:
     n: int
     cbf: int
     coeffs: Optional[np.ndarray]
+    tskip: int = 0
 
 
 @dataclass
@@ -101,7 +102,8 @@ class FrameEncoder:
                  strong_intra_smoothing: bool = True,
                  rd_candidates: Optional[dict] = None,
                  use_rdoq: bool = True, deblocking: bool = True,
-                 max_tu_depth: int = 2, sao: bool = True):
+                 max_tu_depth: int = 2, sao: bool = True,
+                 transform_skip: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -132,6 +134,7 @@ class FrameEncoder:
 
         self.deblocking = deblocking
         self.sao = sao
+        self.transform_skip = transform_skip
         self.max_tu_depth = max_tu_depth
         uh, uw = self.h // 4, self.w // 4
         self.recon = np.zeros((self.h, self.w), dtype=np.int32)
@@ -271,27 +274,73 @@ class FrameEncoder:
         orig = self.frame[y:y + n, x:x + n]
         resi = orig - pred
         use_dst = n == 4
-        coeff = transform.forward_transform_np(resi[None], use_dst=use_dst)[0]
-        if self.use_rdoq:
-            from . import rdoq as rdoq_mod
+        syn_mode = mode if mode != PNNS_MODE else 0
 
-            q = rdoq_mod.rdoq(coeff, self.qp,
-                              mode if mode != PNNS_MODE else 0,
-                              self.lam, self.est_ctx,
-                              cbf_ctx_offset=1 if tu_depth0 else 0,
-                              sign_hiding=self.sign_hiding)
-        else:
-            q = transform.quantize_np(coeff[None], self.qp)[0]
+        def quantize_path(coeff):
+            if self.use_rdoq:
+                from . import rdoq as rdoq_mod
+
+                return rdoq_mod.rdoq(coeff, self.qp, syn_mode, self.lam,
+                                     self.est_ctx,
+                                     cbf_ctx_offset=1 if tu_depth0 else 0,
+                                     sign_hiding=self.sign_hiding)
+            return transform.quantize_np(coeff[None], self.qp)[0]
+
+        coeff = transform.forward_transform_np(resi[None], use_dst=use_dst)[0]
+        q = quantize_path(coeff)
+        tskip = 0
+        if self.transform_skip and n == 4:
+            # HM evaluates transform skip for 4x4 TUs: coeff = resi << tshift.
+            tshift = transform.transform_shift(2)
+            coeff_ts = (resi.astype(np.int32) << tshift)
+            q_ts = quantize_path(coeff_ts)
+            # RD compare the two (flag bit + coeff bits + distortion).
+            def eval_path(qq, is_ts):
+                c = rdo.BitCounter()
+                scratch = counter_ctx.copy()
+                cbf_ = 1 if qq.any() else 0
+                c.encode_bin(cbf_, scratch,
+                             OFFSETS.cbf_luma + (1 if tu_depth0 else 0))
+                if cbf_:
+                    c.encode_bin(1 if is_ts else 0, scratch,
+                                 OFFSETS.transform_skip)
+                    syntax.encode_coefficients(c, scratch, qq, syn_mode,
+                                               self.sign_hiding)
+                    deq_ = transform.dequantize_np(qq[None], self.qp)[0]
+                    if is_ts:
+                        add = 1 << (tshift - 1)
+                        rr = (deq_ + add) >> tshift
+                    else:
+                        rr = transform.inverse_transform_np(
+                            deq_[None], use_dst=True)[0]
+                    rec_ = np.clip(pred + rr, 0, 255)
+                else:
+                    rec_ = pred
+                sse_ = float(((orig - rec_) ** 2).sum())
+                return sse_ + self.lam * c.frac_bits, rec_
+
+            cost_t, _ = eval_path(q, False)
+            cost_ts, _ = eval_path(q_ts, True)
+            if cost_ts < cost_t:
+                q = q_ts
+                tskip = 1
+
         cbf = 1 if q.any() else 0
         # cbf context: TU at trafo depth 0 -> ctx 1; forced 64->32 split -> 0.
         cbf_ctx = OFFSETS.cbf_luma + (1 if tu_depth0 else 0)
         counter.encode_bin(cbf, counter_ctx, cbf_ctx)
         if cbf:
+            if self.transform_skip and n == 4:
+                counter.encode_bin(tskip, counter_ctx, OFFSETS.transform_skip)
             deq = transform.dequantize_np(q[None], self.qp)[0]
-            rec_resi = transform.inverse_transform_np(deq[None], use_dst=use_dst)[0]
+            if tskip:
+                tshift = transform.transform_shift(2)
+                rec_resi = (deq + (1 << (tshift - 1))) >> tshift
+            else:
+                rec_resi = transform.inverse_transform_np(deq[None],
+                                                          use_dst=use_dst)[0]
             rec = np.clip(pred + rec_resi, 0, 255)
-            syntax.encode_coefficients(counter, counter_ctx, q,
-                                       mode if mode != PNNS_MODE else 0,
+            syntax.encode_coefficients(counter, counter_ctx, q, syn_mode,
                                        self.sign_hiding)
         else:
             rec = pred
@@ -300,7 +349,7 @@ class FrameEncoder:
         self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
         self.tu_counter += 1
         sse = int(((orig - rec) ** 2).sum())
-        return sse, TuRecord(x, y, n, cbf, q if cbf else None)
+        return sse, TuRecord(x, y, n, cbf, q if cbf else None, tskip)
 
     def _code_tu_tree(self, x, y, size, depth, mode, preds=None):
         """Recursive TU quadtree RD search (xRecurIntraCodingLumaQT analog).
@@ -539,21 +588,22 @@ class FrameEncoder:
                                sign_hiding=self.sign_hiding,
                                deblocking=self.deblocking,
                                max_tu_depth=self.max_tu_depth,
-                               sao_grid=self._sao_grid)
+                               sao_grid=self._sao_grid,
+                               transform_skip=self.transform_skip)
 
 
 def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                     ctu_size: int, sign_hiding: bool,
                     deblocking: bool = False, max_tu_depth: int = 0,
-                    sao_grid=None) -> bytes:
+                    sao_grid=None, transform_skip: bool = False) -> bytes:
     """Real CABAC pass over decided CU trees -> framework bitstream.
 
     Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
     """
-    header = struct.pack("<4sBBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
+    header = struct.pack("<4sBBBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
                          qp, 1 if sign_hiding else 0, 1 if deblocking else 0,
                          max_tu_depth, 1 if sao_grid is not None else 0,
-                         ctu_size, width, height)
+                         1 if transform_skip else 0, ctu_size, width, height)
     enc = cabac.CabacEncoder()
     ctx = make_context_states(qp)
     uh, uw = height // 4, width // 4
@@ -634,6 +684,8 @@ def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                 enc.encode_bin(leaf.cbf, ctx,
                                OFFSETS.cbf_luma + (1 if tdepth == 0 else 0))
                 if leaf.cbf:
+                    if transform_skip and leaf.n == 4:
+                        enc.encode_bin(leaf.tskip, ctx, OFFSETS.transform_skip)
                     syntax.encode_coefficients(
                         enc, ctx, leaf.coeffs,
                         pu.mode if pu.mode != PNNS_MODE else 0, sign_hiding)

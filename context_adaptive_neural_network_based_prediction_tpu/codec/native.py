@@ -88,9 +88,9 @@ def serialize_grid(modes: np.ndarray, qcoeffs: np.ndarray, *, width: int,
     """Full bitstream (header + native CABAC payload) for the wavefront grid."""
     from .encoder import MAGIC, POLICIES, VERSION
 
-    header = struct.pack("<4sBBBBBBBBII", MAGIC, VERSION,
+    header = struct.pack("<4sBBBBBBBBBII", MAGIC, VERSION,
                          POLICIES.index("regular"), qp, 0,
-                         1 if deblocking else 0, 0, 0, n, width, height)
+                         1 if deblocking else 0, 0, 0, 0, n, width, height)
     return header + pack_grid_payload(modes, qcoeffs, n, qp)
 
 
