@@ -11,8 +11,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from ..evaluation import performance
 from ..evaluation.hm_driver import load_luminance
 

@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from ..models import training, zoo
+from ..models import training
 
 
 def freeze_checkpoint(path_to_ckpt: str, path_to_npz: str) -> None:

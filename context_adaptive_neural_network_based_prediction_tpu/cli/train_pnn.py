@@ -12,8 +12,6 @@ import argparse
 import os
 import time
 
-import numpy as np
-
 from ..data.pipeline import TrainingPipeline
 from ..models import training, zoo
 from ..utils import parsing

@@ -14,8 +14,7 @@ on the fly from 320x320 crops with random rot90/flip/position augmentation
 
 from __future__ import annotations
 
-import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -24,7 +24,6 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..data import extraction, masking
-from ..models import pnn as pnn_mod
 from ..models import zoo
 from ..ops import intra
 from ..utils import metrics
