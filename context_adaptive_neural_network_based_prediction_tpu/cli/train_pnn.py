@@ -38,6 +38,9 @@ def main():
                    default=training.NB_ITERS_TRAINING)
     p.add_argument("--snapshot-every", type=parsing.int_strictly_positive,
                    default=10_000)
+    p.add_argument("--chunk", type=parsing.int_strictly_positive, default=100,
+                   help="training steps fused into one device dispatch "
+                        "(amortizes dispatch latency on remote-attached TPUs)")
     args = p.parse_args()
 
     import jax
@@ -55,28 +58,36 @@ def main():
         state = training.restore_checkpoint(ckpt, w)
         print(f"resumed from {ckpt} (step {start})")
     else:
-        state = training.init_state(jax.random.PRNGKey(0), w, is_fc)
+        state = training.init_state(jax.random.PRNGKey(0), w, is_fc,
+                                    total_iters=args.iters)
 
     pipe = TrainingPipeline(args.shards, args.batch_size, w,
                             is_extraction_on_the_fly=(w >= 16))
+    import numpy as np
+
     batches = pipe.batches()
     key = jax.random.PRNGKey(1)
     masks = jnp.array(args.masks if args.masks else [0, 0])
     t0 = time.time()
-    for it in range(int(state.step), args.iters):
-        above, left, target = next(batches)
+    it = int(state.step)
+    while it < args.iters:
+        k = min(args.chunk, args.iters - it)
+        stacked = [next(batches) for _ in range(k)]
+        above = np.stack([b[0] for b in stacked])
+        left = np.stack([b[1] for b in stacked])
+        target = np.stack([b[2] for b in stacked])
         key, sub = jax.random.split(key)
-        state, loss, terms = training.train_step(
+        state, losses = training.train_chunk(
             state, sub, above, left, target, args.mean, masks,
             width_target=w, is_fully_connected=is_fc,
             coeff_l2=args.coeff_l2, coeff_grad=args.coeff_grad,
-            random_masks=args.masks is None)
-        if (it + 1) % 100 == 0:
-            print(f"step {it + 1}: loss {float(loss):.3f} "
-                  f"({(it + 1 - int(start)) / (time.time() - t0):.1f} it/s)")
-        if (it + 1) % args.snapshot_every == 0 or it + 1 == args.iters:
+            random_masks=args.masks is None, total_iters=args.iters)
+        it += k
+        print(f"step {it}: loss {float(losses[-1]):.3f} "
+              f"({(it - int(start)) / (time.time() - t0):.1f} it/s)", flush=True)
+        if it % args.snapshot_every == 0 or it == args.iters:
             path = training.save_checkpoint(state, out_dir)
-            print(f"snapshot {path}")
+            print(f"snapshot {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -58,16 +58,33 @@ def compute_luminance_mean(paths_to_images: Sequence[str], channel: int = 0) -> 
     """Mean intensity of one YCbCr channel over a set of RGB images."""
     total, count = 0.0, 0
     for path in paths_to_images:
-        try:
-            rgb = images.read_image_mode(path, "RGB")
-        except ValueError:
-            continue  # skip CMYK/grayscale like the reference builders
-        ch = color.rgb_to_ycbcr(rgb)[:, :, channel]
+        ch = _load_channel(path, channel)
+        if ch is None:
+            continue
         total += float(ch.sum())
         count += ch.size
     if count == 0:
         raise ValueError("no usable images")
     return total / count
+
+
+def _load_channel(path: str, channel: int):
+    """Loads one YCbCr channel from an RGB image, or the plane of a grayscale
+    image when `channel` is luminance.  Returns None for unusable images
+    (CMYK, or chroma requested from grayscale), mirroring the reference
+    builders' skip-on-mode-mismatch behaviour (`sets/writing.py:355-366`)
+    while additionally accepting mode-L sources as luminance."""
+    try:
+        rgb = images.read_image_mode(path, "RGB")
+        return color.rgb_to_ycbcr(rgb)[:, :, channel]
+    except ValueError:
+        pass
+    if channel != 0:
+        return None
+    try:
+        return images.read_image_mode(path, "L")
+    except ValueError:
+        return None
 
 
 def _compress_channel_pair(channel_uint8: np.ndarray, qp: int) -> np.ndarray:
@@ -123,11 +140,9 @@ def create_training_shards(paths_to_images: Sequence[str],
         shard_file_idx[shard] += 1
 
     for i, path in enumerate(paths_to_images):
-        try:
-            rgb = images.read_image_mode(path, "RGB")
-        except ValueError:
+        ch = _load_channel(path, channel)
+        if ch is None:
             continue
-        ch = color.rgb_to_ycbcr(rgb)[:, :, channel]
         if ch.shape[0] < WIDTH_CROP or ch.shape[1] < WIDTH_CROP:
             continue
         r = int(rng.integers(0, ch.shape[0] - WIDTH_CROP + 1))

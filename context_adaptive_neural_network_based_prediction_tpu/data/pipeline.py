@@ -14,6 +14,8 @@ on the fly from 320x320 crops with random rot90/flip/position augmentation
 
 from __future__ import annotations
 
+import os
+
 from typing import Iterator
 
 import numpy as np
@@ -25,7 +27,8 @@ from . import extraction
 class TrainingPipeline:
     def __init__(self, path_to_directory_shards: str, batch_size: int,
                  width_target: int, *, is_extraction_on_the_fly: bool = False,
-                 shuffle_buffer: int = 1000, seed: int = 0):
+                 shuffle_buffer: int = 1000, seed: int = 0,
+                 ram_cache_bytes: int = 1 << 29):
         self.files = path_utils.collect_paths_to_files_in_subdirectories(
             path_to_directory_shards, ".npz")
         if not self.files:
@@ -35,25 +38,38 @@ class TrainingPipeline:
         self.on_the_fly = is_extraction_on_the_fly
         self.shuffle_buffer = shuffle_buffer
         self.rng = np.random.default_rng(seed)
+        # Small datasets are decompressed once into RAM: repeated npz
+        # decompression otherwise dominates host-side batch production and
+        # starves the device.
+        self._ram_cache = None
+        total_bytes = sum(os.path.getsize(p) for p in self.files)
+        if total_bytes <= ram_cache_bytes:
+            self._ram_cache = [dict(np.load(p)) for p in self.files]
+
+    def _load(self, index: int) -> dict:
+        if self._ram_cache is not None:
+            return self._ram_cache[index]
+        return dict(np.load(self.files[index]))
 
     def _example_stream(self) -> Iterator[tuple]:
-        file_order = list(self.files)
+        file_order = list(range(len(self.files)))
         while True:
             self.rng.shuffle(file_order)
-            for path in file_order:
-                with np.load(path) as data:
-                    if self.on_the_fly:
-                        crops = data["crops"]
-                        for i in range(crops.shape[0]):
-                            yield self._extract_random(crops[i])
-                    else:
-                        above, left, target = data["above"], data["left"], data["target"]
-                        for i in range(above.shape[0]):
-                            yield above[i], left[i], target[i]
+            for index in file_order:
+                data = self._load(index)
+                if self.on_the_fly:
+                    crops = data["crops"]
+                    for i in range(crops.shape[0]):
+                        yield self._extract_random(crops[i])
+                else:
+                    above, left, target = data["above"], data["left"], data["target"]
+                    for i in range(above.shape[0]):
+                        yield above[i], left[i], target[i]
 
     def _extract_random(self, crop: np.ndarray):
         """Random rot90 k, left-right flip, random position (reference
-        `sets/reading.py:176-208`)."""
+        `sets/reading.py:176-208`).  Works on views; the small extracted
+        portions are copied by the batch np.stack, never the full crop."""
         k = int(self.rng.integers(0, 4))
         chan = np.rot90(crop, k)
         if self.rng.integers(0, 2):
@@ -63,7 +79,7 @@ class TrainingPipeline:
         r = int(self.rng.integers(0, h - 3 * w + 1))
         c = int(self.rng.integers(0, w_ch - 3 * w + 1))
         return extraction.extract_context_portions_target_from_channel(
-            np.ascontiguousarray(chan), w, r, c)
+            chan, w, r, c)
 
     def batches(self) -> Iterator[tuple]:
         """Yields (above (B,w,3w,1), left (B,2w,w,1), target (B,w,w,1)) uint8."""

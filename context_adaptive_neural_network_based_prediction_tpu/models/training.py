@@ -41,37 +41,43 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
 
 
-def learning_rate_schedule(width_target: int):
-    """Piecewise-constant schedule keyed to the persisted global step."""
+def learning_rate_schedule(width_target: int, total_iters: int = NB_ITERS_TRAINING):
+    """Piecewise-constant schedule keyed to the persisted global step.
+
+    The reference decays at {1/2, 3/4, 7/8} of its fixed 800k-iteration budget
+    (`pnn/PredictionNeuralNetwork.py:144-158`); `total_iters` rescales those
+    boundaries so shorter budgets keep the same decay structure.
+    """
     base = 1.0e-4 if width_target <= 8 else 4.0e-4
     return optax.piecewise_constant_schedule(
         init_value=base,
         boundaries_and_scales={
-            NB_ITERS_TRAINING // 2: 0.1,
-            3 * NB_ITERS_TRAINING // 4: 0.1,
-            7 * NB_ITERS_TRAINING // 8: 0.1,
+            total_iters // 2: 0.1,
+            3 * total_iters // 4: 0.1,
+            7 * total_iters // 8: 0.1,
         },
     )
 
 
-def make_optimizer(width_target: int):
-    return optax.adam(learning_rate_schedule(width_target), b1=0.9, b2=0.999, eps=1e-8)
+def make_optimizer(width_target: int, total_iters: int = NB_ITERS_TRAINING):
+    return optax.adam(learning_rate_schedule(width_target, total_iters),
+                      b1=0.9, b2=0.999, eps=1e-8)
 
 
-def init_state(key, width_target: int, is_fully_connected: bool) -> TrainState:
+def init_state(key, width_target: int, is_fully_connected: bool,
+               total_iters: int = NB_ITERS_TRAINING) -> TrainState:
     params = pnn.init_params(key, width_target, is_fully_connected)
-    opt = make_optimizer(width_target)
+    opt = make_optimizer(width_target, total_iters)
     return TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
 
 
-@partial(jax.jit, static_argnames=(
-    "width_target", "is_fully_connected", "coeff_l2", "coeff_grad", "random_masks"))
-def train_step(state: TrainState, rng_key,
-               portions_above_uint8, portions_left_uint8, targets_uint8,
-               mean_training: float, masks: jnp.ndarray,
-               *, width_target: int, is_fully_connected: bool,
-               coeff_l2: float, coeff_grad: float, random_masks: bool):
-    """One fused training update on a raw uint8 batch.
+def _train_step_impl(state: TrainState, rng_key,
+                     portions_above_uint8, portions_left_uint8, targets_uint8,
+                     mean_training: float, masks: jnp.ndarray,
+                     *, width_target: int, is_fully_connected: bool,
+                     coeff_l2: float, coeff_grad: float, random_masks: bool,
+                     total_iters: int = NB_ITERS_TRAINING):
+    """One fused training update on a raw uint8 batch (traceable body).
 
     `masks` is a (2,) int array (width_mask_above, height_mask_left) used when
     `random_masks` is False; otherwise per-example masks are drawn uniformly
@@ -106,11 +112,50 @@ def train_step(state: TrainState, rng_key,
         return loss, terms
 
     (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    opt = make_optimizer(w)
+    opt = make_optimizer(w, total_iters)
     updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = TrainState(new_params, new_opt_state, state.step + 1)
     return new_state, loss, terms
+
+
+train_step = jax.jit(_train_step_impl, static_argnames=(
+    "width_target", "is_fully_connected", "coeff_l2", "coeff_grad",
+    "random_masks", "total_iters"))
+
+
+@partial(jax.jit, static_argnames=(
+    "width_target", "is_fully_connected", "coeff_l2", "coeff_grad",
+    "random_masks", "total_iters"))
+def train_chunk(state: TrainState, rng_key,
+                portions_above_uint8, portions_left_uint8, targets_uint8,
+                mean_training: float, masks: jnp.ndarray,
+                *, width_target: int, is_fully_connected: bool,
+                coeff_l2: float, coeff_grad: float, random_masks: bool,
+                total_iters: int = NB_ITERS_TRAINING):
+    """K fused training updates in ONE device dispatch (lax.scan over stacked
+    batches of shape (K, B, ...)).
+
+    Per-step dispatch latency dominates small-model training on a
+    remote-attached TPU; scanning K steps per call amortizes it K-fold while
+    keeping update semantics identical to `train_step` (per-step RNG split,
+    same optimizer/schedule).  Returns (state, per-step losses (K,))."""
+
+    def body(carry, batch):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        a, l, t = batch
+        st, loss, _ = _train_step_impl(
+            st, sub, a, l, t, mean_training, masks,
+            width_target=width_target, is_fully_connected=is_fully_connected,
+            coeff_l2=coeff_l2, coeff_grad=coeff_grad,
+            random_masks=random_masks, total_iters=total_iters)
+        return (st, key), loss
+
+    (state, _), losses = jax.lax.scan(
+        body, (state, rng_key),
+        (portions_above_uint8, portions_left_uint8, targets_uint8))
+    return state, losses
 
 
 # ------------------------------------------------------------ checkpoints ----
