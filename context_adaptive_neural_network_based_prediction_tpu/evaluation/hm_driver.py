@@ -64,8 +64,11 @@ def load_luminance(path: str, height: Optional[int] = None,
     else:
         from ..utils import color, images
 
-        arr = images.read_image_mode(path, "RGB")
-        luma = color.rgb_to_ycbcr(arr)[:, :, 0]
+        try:
+            arr = images.read_image_mode(path, "RGB")
+            luma = color.rgb_to_ycbcr(arr)[:, :, 0]
+        except ValueError:
+            luma = images.read_image_mode(path, "L")
     return luma[: (luma.shape[0] // 8) * 8, : (luma.shape[1] // 8) * 8]
 
 
