@@ -95,7 +95,8 @@ class FrameDecoder:
 
     def _predict(self, x, y, n, mode):
         flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n, self.h, self.w)
-        if (self.policy == "substitution" and mode == 18) or mode == PNNS_MODE:
+        if ((self.policy == "substitution" and mode == 18
+             and self.pnn.supports(n)) or mode == PNNS_MODE):
             return self.pnn.predict(self.recon, x, y, n, flags)
         ref_top, ref_left = rs.fill_reference_samples(self.recon, x, y, n, flags)
         if rs.use_filtered_for_mode(mode, n):

@@ -240,7 +240,10 @@ class FrameEncoder:
         use_filtered = np.array([rs.use_filtered_for_mode(m, n) for m in range(35)])
         preds = np.where(use_filtered[:, None, None], preds_both[1], preds_both[0])
 
-        if self.policy == "substitution":
+        if self.policy == "substitution" and self.pnn.supports(n):
+            # Widths without a model keep the angular mode-18 prediction
+            # (the reference ships models for every width it runs; this
+            # fallback only matters when the zoo is partial).
             preds[18] = self.pnn.predict(self.recon, x, y, n, flags)
         elif self.policy == "switch":
             pnns = self.pnn.predict(self.recon, x, y, n, flags)[None]
@@ -251,7 +254,8 @@ class FrameEncoder:
         """One-mode prediction for TU reconstruction (35x cheaper than the
         full sweep; NN modes route through the PnnPredictor)."""
         flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n, self.h, self.w)
-        if (self.policy == "substitution" and mode == 18) or mode == PNNS_MODE:
+        if ((self.policy == "substitution" and mode == 18
+             and self.pnn.supports(n)) or mode == PNNS_MODE):
             return self.pnn.predict(self.recon, x, y, n, flags)
         ref_top, ref_left = rs.fill_reference_samples(self.recon, x, y, n, flags)
         if rs.use_filtered_for_mode(mode, n):

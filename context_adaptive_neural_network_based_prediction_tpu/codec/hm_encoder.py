@@ -53,7 +53,12 @@ def write_sps(width: int, height: int, *, sao: bool, max_tu_depth: int,
     w.u(0, 4)            # sps_video_parameter_set_id
     w.u(0, 3)            # sps_max_sub_layers_minus1
     w.flag(1)            # sps_temporal_id_nesting_flag
-    for b in PTL_BYTES:
+    ptl = bytearray(PTL_BYTES)
+    if ctu_size < 32:
+        # Levels >= 5 require CtbSizeY >= 32 (Rec. H.265 A.4.1); declare
+        # level 4.1 for CTB-16 streams (covers 1080p).
+        ptl[-1] = 123
+    for b in ptl:
         w.u(b, 8)
     w.ue(0)              # sps_seq_parameter_set_id
     w.ue(0)              # chroma_format_idc: monochrome
@@ -68,10 +73,11 @@ def write_sps(width: int, height: int, *, sao: bool, max_tu_depth: int,
     w.ue(0)              # sps_max_num_reorder_pics
     w.ue(0)              # sps_max_latency_increase_plus1
     ctu_log2 = ctu_size.bit_length() - 1
+    max_tb_log2 = min(MAX_TB_LOG2, ctu_log2)
     w.ue(0)              # log2_min_luma_coding_block_size_minus3
     w.ue(ctu_log2 - 3)   # log2_diff_max_min_luma_coding_block_size
     w.ue(MIN_TB_LOG2 - 2)
-    w.ue(MAX_TB_LOG2 - MIN_TB_LOG2)
+    w.ue(max_tb_log2 - MIN_TB_LOG2)
     w.ue(max_tu_depth)   # max_transform_hierarchy_depth_inter
     w.ue(max_tu_depth)   # max_transform_hierarchy_depth_intra
     w.flag(0)            # scaling_list_enabled_flag

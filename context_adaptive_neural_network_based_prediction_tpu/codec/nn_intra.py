@@ -37,16 +37,26 @@ class PnnBundle:
     `pair_params` optionally holds artifact-trained ("pair") models; at
     QP >= 32 the codec selects them over the clean-trained set
     (`TComPrediction.cpp:155-170`).
+
+    `mean_training` is a single float (reference behaviour: one channel mean
+    for every width) or a width->mean dict when mixing models trained on
+    different datasets (e.g. the shipped 4/8 checkpoints + locally trained
+    16/32 models).
     """
     params: Dict[int, dict]            # width -> param pytree
     is_fully_connected: Dict[int, bool]
-    mean_training: float
+    mean_training: object              # float | Dict[int, float]
     pair_params: Optional[Dict[int, dict]] = None
 
     def params_for_qp(self, qp: int) -> Dict[int, dict]:
         if self.pair_params is not None and qp >= QP_PAIR_THRESHOLD:
             return self.pair_params
         return self.params
+
+    def mean_for(self, n: int) -> float:
+        if isinstance(self.mean_training, dict):
+            return float(self.mean_training[n])
+        return float(self.mean_training)
 
     @classmethod
     def from_checkpoints(cls, paths: Dict[int, str], mean_training: float,
@@ -127,8 +137,8 @@ class PnnPredictor:
         """(n, n) int32 prediction in [0, 255]; zeros if context unavailable."""
         if not context_available(x, y, n) or not self.supports(n):
             return np.zeros((n, n), dtype=np.int32)
-        above, left = extract_context(recon, x, y, n, flags,
-                                      self.bundle.mean_training)
+        mean = self.bundle.mean_for(n)
+        above, left = extract_context(recon, x, y, n, flags, mean)
         # The cache key fingerprints the *context pixels*, not just the
         # position: during RDO the same TU position is predicted under
         # different neighbouring reconstructions (e.g. interior TUs of a
@@ -146,8 +156,7 @@ class PnnPredictor:
         else:
             inputs = (above[None, :, :, None], left[None, :, :, None])
         pred = np.asarray(pnn.forward(params, inputs, n, is_fc))[0, :, :, 0]
-        out = np.round(
-            np.clip(pred + self.bundle.mean_training, 0.0, 255.0)).astype(np.int32)
+        out = np.round(np.clip(pred + mean, 0.0, 255.0)).astype(np.int32)
         self._cache[key] = out
         return out
 

@@ -38,8 +38,16 @@ class RdPoint:
 
 def compute_rate_psnr(luminance_uint8: np.ndarray, qp: int, *,
                       policy: str = "regular", pnn=None,
-                      use_wavefront: bool = False, **encoder_kwargs) -> RdPoint:
-    """Encodes + decodes one luma frame; asserts bit-exact reconstruction."""
+                      use_wavefront: bool = False,
+                      use_hm_container: bool = False,
+                      **encoder_kwargs) -> RdPoint:
+    """Encodes + decodes one luma frame; asserts bit-exact reconstruction.
+
+    `use_hm_container` serializes the decisions as a standard Annex-B HEVC
+    stream (VPS/SPS/PPS + IDR slice + hash SEI, `codec.hm_encoder`) and uses
+    ITS length as the rate, so comparisons against HM binaries account the
+    same NAL overhead; reconstruction is then verified through the
+    HM-conformant decoder."""
     h, w = luminance_uint8.shape
     t0 = time.time()
     if use_wavefront:
@@ -48,17 +56,37 @@ def compute_rate_psnr(luminance_uint8: np.ndarray, qp: int, *,
         res = wavefront.encode_frame_wavefront(luminance_uint8, qp,
                                                **encoder_kwargs)
     else:
-        res = encoder.encode_frame(luminance_uint8, qp, policy=policy, pnn=pnn,
-                                   **encoder_kwargs)
+        fe = encoder.FrameEncoder(luminance_uint8, qp, policy=policy, pnn=pnn,
+                                  **encoder_kwargs)
+        res = fe.encode()
     t1 = time.time()
-    dec = decoder.decode_frame(res.bitstream, pnn=pnn)
+    if use_hm_container:
+        if use_wavefront:
+            raise ValueError("HM container rate needs the RDO encoder path")
+        from ..codec import hm_decoder, hm_encoder
+
+        stream = hm_encoder.assemble_hm_stream(
+            res, sao_enabled=fe.sao, deblocking=fe.deblocking,
+            sign_hiding=fe.sign_hiding, transform_skip=fe.transform_skip,
+            max_tu_depth=fe.max_tu_depth, sao_grid=fe._sao_grid,
+            strong_intra_smoothing=fe.strong_smoothing, ctu_size=fe.ctu)
+        num_bits = len(stream) * 8
+        if policy == "regular":
+            hd = hm_decoder.decode_hm_stream(stream)
+            recon = hd.reconstruction
+            if hd.hash_checked and not hd.hash_ok:
+                raise AssertionError("decoded-picture-hash mismatch")
+        else:
+            recon = decoder.decode_frame(res.bitstream, pnn=pnn).reconstruction
+    else:
+        num_bits = res.num_bits
+        recon = decoder.decode_frame(res.bitstream, pnn=pnn).reconstruction
     t2 = time.time()
-    if not np.array_equal(res.reconstruction, dec.reconstruction):
+    if not np.array_equal(res.reconstruction, recon):
         raise AssertionError("decoder reconstruction mismatch")
     return RdPoint(qp=qp,
-                   rate_bpp=res.num_bits / (h * w),
-                   psnr_db=float(metrics.compute_psnr(luminance_uint8,
-                                                      dec.reconstruction)),
+                   rate_bpp=num_bits / (h * w),
+                   psnr_db=float(metrics.compute_psnr(luminance_uint8, recon)),
                    encode_time_s=t1 - t0,
                    decode_time_s=t2 - t1)
 

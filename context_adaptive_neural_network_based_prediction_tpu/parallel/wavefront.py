@@ -349,3 +349,29 @@ def encode_frame_wavefront(frame_uint8: np.ndarray, qp: int, *,
         qp=qp,
         policy="regular",
     )
+
+
+def encode_frame_wavefront_hm(frame_uint8: np.ndarray, qp: int, *,
+                              block_size: int = 16):
+    """Wavefront device encode -> standard Annex-B HEVC stream.
+
+    The stream declares CTB size 16 (legal HEVC: CtbLog2SizeY = 4), so the
+    device's raster/wavefront causal availability IS the HEVC coding order -
+    each 16x16 grid block is one CTU with a 2Nx2N PU and one unsplit TU.
+    Loop filters off, decoded-picture-hash SEI embedded; stock HM-16.15
+    TAppDecoderStatic reconstructs the device output bit-exactly.
+    Returns (annexb_stream, EncodeResult).
+    """
+    from ..codec import hm_encoder
+
+    if block_size != 16:
+        raise ValueError("HM output is defined for the 16x16 grid (CTB 16)")
+    res = encode_frame_wavefront(frame_uint8, qp, block_size=block_size,
+                                 serialize=False)
+    stream = hm_encoder.assemble_hm_stream(
+        res, sao_enabled=False, deblocking=False, sign_hiding=False,
+        transform_skip=False, max_tu_depth=0, sao_grid=None,
+        ctu_size=block_size)
+    res.bitstream = stream
+    res.num_bits = len(stream) * 8
+    return stream, res
