@@ -31,6 +31,20 @@ INIT_GREATER2 = [138, 153, 136, 167]
 INIT_TRANS_SUBDIV = [153, 138, 138]
 INIT_SAO_MERGE = [153]
 INIT_SAO_TYPE = [200]
+# Chroma context sets (I-slice rows of ContextTables.h; CNU = 154).
+INIT_CHROMA_PRED = [63]
+INIT_CBF_CHROMA = [94, 138, 182, 154, 154]        # ctx = relative TU depth
+INIT_SIG_CHROMA = [140,
+                   139, 182, 182, 152, 136, 152, 136, 153,
+                   136, 139, 111,
+                   136, 139, 111,
+                   111]
+INIT_LAST_X_CHROMA = [108, 123, 63] + [154] * 12
+INIT_LAST_Y_CHROMA = INIT_LAST_X_CHROMA
+INIT_GREATER1_CHROMA = [140, 179, 166, 182, 140, 227, 122, 197]
+INIT_GREATER2_CHROMA = [152, 152]
+INIT_TRANSFORM_SKIP_CHROMA = [139]
+INIT_SIG_CG_CHROMA = [134, 141]
 # PNNS flag context for the "switch" codec behaviour (hm_16_15_switch
 # ContextTables.h:239-247: init value 154 for every slice type).
 INIT_PNNS_FLAG = [154]
@@ -57,6 +71,15 @@ def _build_layout():
         ("trans_subdiv", INIT_TRANS_SUBDIV),
         ("sao_merge", INIT_SAO_MERGE),
         ("sao_type", INIT_SAO_TYPE),
+        ("chroma_pred", INIT_CHROMA_PRED),
+        ("cbf_chroma", INIT_CBF_CHROMA),
+        ("sig_chroma", INIT_SIG_CHROMA),
+        ("last_x_chroma", INIT_LAST_X_CHROMA),
+        ("last_y_chroma", INIT_LAST_Y_CHROMA),
+        ("greater1_chroma", INIT_GREATER1_CHROMA),
+        ("greater2_chroma", INIT_GREATER2_CHROMA),
+        ("transform_skip_chroma", INIT_TRANSFORM_SKIP_CHROMA),
+        ("sig_cg_chroma", INIT_SIG_CG_CHROMA),
     ]
     offsets = Offsets()
     init_values = []

@@ -136,3 +136,54 @@ def deblock_luma(recon: np.ndarray, tu_map: np.ndarray, qp: int,
             _filter_segment(get, put, tc, beta, bit_depth)
 
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(recon.dtype)
+
+
+def deblock_chroma(plane: np.ndarray, tu_map_luma: np.ndarray, qp_c: int,
+                   bit_depth: int = 8) -> np.ndarray:
+    """Deblocks one 4:2:0 chroma plane (HM `xEdgeFilterChroma` +
+    `xPelFilterChroma` for the All-Intra case).
+
+    Chroma edges lie on the 8-chroma-sample (16-luma) grid; only boundary
+    strength 2 edges filter (always true for intra TU/PU boundaries), in
+    2-sample segments matching the 4-luma base-unit bS granularity; the filter
+    adjusts only p0/q0 with tc from the chroma QP + the intra offset.
+    `tu_map_luma` is the luma-resolution 4x4-unit TU id map.
+    """
+    hc, wc = plane.shape
+    out = plane.astype(np.int32).copy()
+    idx_tc = int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET, 0, 53))
+    tc = int(TC_TABLE[idx_tc])
+    if tc == 0:
+        return plane.copy()
+    max_val = (1 << bit_depth) - 1
+
+    def filter_pair(p1, p0, q0, q1):
+        delta = (((q0 - p0) << 2) + p1 - q1 + 4) >> 3
+        delta = max(-tc, min(tc, delta))
+        return (max(0, min(max_val, p0 + delta)),
+                max(0, min(max_val, q0 - delta)))
+
+    # Vertical edges first across the whole picture, then horizontal.
+    for xc in range(8, wc, 8):
+        ux = (2 * xc) // 4
+        for y0 in range(0, hc, 2):          # one luma base unit = 2 chroma rows
+            uy = (2 * y0) // 4
+            if tu_map_luma[uy, ux - 1] == tu_map_luma[uy, ux]:
+                continue
+            for i in range(2):
+                p1, p0 = int(out[y0 + i, xc - 2]), int(out[y0 + i, xc - 1])
+                q0, q1 = int(out[y0 + i, xc]), int(out[y0 + i, xc + 1])
+                out[y0 + i, xc - 1], out[y0 + i, xc] = filter_pair(p1, p0, q0, q1)
+
+    for yc in range(8, hc, 8):
+        uy = (2 * yc) // 4
+        for x0 in range(0, wc, 2):
+            ux = (2 * x0) // 4
+            if tu_map_luma[uy - 1, ux] == tu_map_luma[uy, ux]:
+                continue
+            for i in range(2):
+                p1, p0 = int(out[yc - 2, x0 + i]), int(out[yc - 1, x0 + i])
+                q0, q1 = int(out[yc, x0 + i]), int(out[yc + 1, x0 + i])
+                out[yc - 1, x0 + i], out[yc, x0 + i] = filter_pair(p1, p0, q0, q1)
+
+    return np.clip(out, 0, max_val).astype(plane.dtype)

@@ -139,6 +139,12 @@ class BitReader:
         return (k + 1) // 2 if (k & 1) else -(k // 2)
 
     def byte_align(self):
+        """byte_alignment(): alignment_bit_equal_to_one + zero bits.
+
+        The one-bit is ALWAYS present (Rec. 7.3.2.10) - even when the reader
+        is already byte-aligned a full alignment byte follows."""
+        if self.u(1) != 1:
+            raise ValueError("alignment bit is not 1")
         while self.pos & 7:
             self.pos += 1
 

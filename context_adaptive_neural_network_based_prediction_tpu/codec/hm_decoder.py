@@ -29,6 +29,32 @@ from . import cabac, hm_bitstream, sao as sao_mod, syntax
 from .contexts import OFFSETS, make_context_states
 
 
+# Rec. H.265 Table 8-10 / HM g_aucChromaScale row CHROMA_420: qPi -> QpC.
+CHROMA_SCALE_420 = np.array(
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+     20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 29, 30, 31, 32, 33, 33, 34, 34,
+     35, 35, 36, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49,
+     50, 51], dtype=np.int32)
+
+
+def chroma_qp_420(qp_luma: int, offset: int = 0) -> int:
+    q = int(np.clip(qp_luma + offset, 0, 57))
+    return int(CHROMA_SCALE_420[q])
+
+
+# IntraPredModeC candidate list (Rec. H.265 8.4.3): {planar, ver, hor, dc};
+# an entry equal to the luma mode is replaced by angular 34.
+CHROMA_CANDIDATES = (0, 26, 10, 1)
+
+
+def chroma_mode_from_index(index: int, luma_mode: int) -> int:
+    """index 4 = DM (luma mode); 0..3 = candidate list with 34-substitution."""
+    if index == 4:
+        return luma_mode
+    mode = CHROMA_CANDIDATES[index]
+    return 34 if mode == luma_mode else mode
+
+
 @dataclass
 class HmDecodeResult:
     reconstruction: np.ndarray
@@ -36,13 +62,15 @@ class HmDecodeResult:
     mode_map: np.ndarray
     hash_checked: bool
     hash_ok: bool
+    reconstruction_cb: Optional[np.ndarray] = None
+    reconstruction_cr: Optional[np.ndarray] = None
 
 
 class HmFrameDecoder:
     def __init__(self, annexb: bytes):
         st = hm_bitstream.parse_stream(annexb)
-        if st.sps.chroma_format_idc not in (0,):
-            raise ValueError("only 4:0:0 streams supported")
+        if st.sps.chroma_format_idc not in (0, 1):
+            raise ValueError("only 4:0:0 / 4:2:0 streams supported")
         if st.sps.bit_depth_luma != 8:
             raise ValueError("only 8-bit streams supported")
         self.stream = st
@@ -56,6 +84,7 @@ class HmFrameDecoder:
         self.min_cb = 1 << st.sps.log2_min_cb
         self.max_tb = 1 << st.sps.log2_max_tb
         self.min_tb = 1 << st.sps.log2_min_tb
+        self.chroma = st.sps.chroma_format_idc == 1
 
         self.dec = cabac.CabacDecoder(self.sh.slice_data)
         self.ctx = make_context_states(self.qp)
@@ -68,6 +97,13 @@ class HmFrameDecoder:
         self.tu_map = np.full((uh, uw), -1, dtype=np.int32)
         self.tu_counter = 0
         self.sao_grid = None
+        self.sao_grid_cb = None
+        self.sao_grid_cr = None
+        if self.chroma:
+            self.recon_cb = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+            self.recon_cr = np.zeros((self.h // 2, self.w // 2), dtype=np.int32)
+            self.qp_cb = chroma_qp_420(self.qp, self.pps.cb_qp_offset)
+            self.qp_cr = chroma_qp_420(self.qp, self.pps.cr_qp_offset)
 
     # --------------------------------------------------------------- CUs ----
 
@@ -159,8 +195,10 @@ class HmFrameDecoder:
                 # Record the mode before the next PU derives its MPMs.
                 self.mode_map[py // 4:(py + half) // 4,
                               px // 4:(px + half) // 4] = mode
-            self._transform_tree(x, y, log2_size, 0, modes,
-                                 intra_split=True, max_depth_extra=1)
+            chroma_mode = self._parse_chroma_mode(modes[0])
+            self._transform_tree(x, y, x, y, log2_size, 0, 0, modes,
+                                 chroma_mode, 1, 1,
+                                 intra_split=True)
         else:
             if self.dec.decode_bin(self.ctx, OFFSETS.prev_intra):
                 if self.dec.decode_bin_ep() == 0:
@@ -175,15 +213,31 @@ class HmFrameDecoder:
                         rem += 1
                 mode = rem
             self.mode_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = mode
-            self._transform_tree(x, y, log2_size, 0, [mode] * 4,
-                                 intra_split=False, max_depth_extra=0)
+            chroma_mode = self._parse_chroma_mode(mode)
+            self._transform_tree(x, y, x, y, log2_size, 0, 0, [mode] * 4,
+                                 chroma_mode, 1, 1,
+                                 intra_split=False)
 
         self.depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
 
+    def _parse_chroma_mode(self, luma_mode0: int) -> int:
+        """intra_chroma_pred_mode: one per CU in 4:2:0 (TDecSbac::
+        parseIntraDirChroma); DM derives from the first PU's luma mode."""
+        if not self.chroma:
+            return -1
+        if self.dec.decode_bin(self.ctx, OFFSETS.chroma_pred) == 0:
+            index = 4  # DM
+        else:
+            index = self.dec.decode_bins_ep(2)
+        return chroma_mode_from_index(index, luma_mode0)
+
     # --------------------------------------------------------------- TUs ----
 
-    def _transform_tree(self, x: int, y: int, log2_size: int, tr_depth: int,
-                        pu_modes, *, intra_split: bool, max_depth_extra: int):
+    def _transform_tree(self, x: int, y: int, x_base: int, y_base: int,
+                        log2_size: int, tr_depth: int, blk_idx: int,
+                        pu_modes, chroma_mode: int,
+                        parent_cbf_cb: int, parent_cbf_cr: int,
+                        *, intra_split: bool):
         max_depth = (self.sps.max_transform_hierarchy_depth_intra
                      + (1 if intra_split else 0))
         size = 1 << log2_size
@@ -196,13 +250,29 @@ class HmFrameDecoder:
                 self.ctx, OFFSETS.trans_subdiv + (5 - log2_size))
         else:
             split = 0
+
+        # Chroma cbfs: coded at nodes with log2 > 2 when the parent's cbf was
+        # set (or at depth 0); inherited otherwise (Rec. 7.3.8.8).
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if self.chroma and log2_size > 2:
+            if tr_depth == 0 or parent_cbf_cb:
+                cbf_cb = self.dec.decode_bin(
+                    self.ctx, OFFSETS.cbf_chroma + tr_depth)
+            else:
+                cbf_cb = 0
+            if tr_depth == 0 or parent_cbf_cr:
+                cbf_cr = self.dec.decode_bin(
+                    self.ctx, OFFSETS.cbf_chroma + tr_depth)
+            else:
+                cbf_cr = 0
+
         if split:
             half = size // 2
             for i, (cx, cy) in enumerate(((x, y), (x + half, y), (x, y + half),
                                           (x + half, y + half))):
-                self._transform_tree(cx, cy, log2_size - 1, tr_depth + 1,
-                                     pu_modes, intra_split=intra_split,
-                                     max_depth_extra=max_depth_extra)
+                self._transform_tree(cx, cy, x, y, log2_size - 1, tr_depth + 1,
+                                     i, pu_modes, chroma_mode, cbf_cb, cbf_cr,
+                                     intra_split=intra_split)
             return
         # Leaf TU: which PU does it belong to? (NxN -> quadrant index.)
         if intra_split:
@@ -215,6 +285,15 @@ class HmFrameDecoder:
         cbf = self.dec.decode_bin(
             self.ctx, OFFSETS.cbf_luma + (1 if tr_depth == 0 else 0))
         self._reconstruct_tu(x, y, size, mode, cbf)
+        if self.chroma:
+            if log2_size > 2:
+                self._chroma_tu(x // 2, y // 2, size // 2, chroma_mode,
+                                cbf_cb, cbf_cr)
+            elif blk_idx == 3:
+                # Four 4x4 luma TUs share one 4x4 chroma TB coded at the last
+                # child, covering the parent 8x8 luma area.
+                self._chroma_tu(x_base // 2, y_base // 2, 4, chroma_mode,
+                                parent_cbf_cb, parent_cbf_cr)
 
     def _reconstruct_tu(self, x: int, y: int, n: int, mode: int, cbf: int):
         flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n, self.h, self.w)
@@ -245,22 +324,48 @@ class HmFrameDecoder:
         self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
         self.tu_counter += 1
 
+    def _chroma_tu(self, xc: int, yc: int, nc: int, chroma_mode: int,
+                   cbf_cb: int, cbf_cr: int):
+        """Parses + reconstructs the Cb then Cr TBs of one chroma TU.
+
+        Chroma reference samples are unfiltered and the DC/edge boundary
+        filters do not apply (Rec. 8.4.4.2.3/8.4.4.2.6 for ChromaArrayType 1).
+        """
+        for plane, cbf, qpc in ((self.recon_cb, cbf_cb, self.qp_cb),
+                                (self.recon_cr, cbf_cr, self.qp_cr)):
+            flags = rs.neighbor_unit_flags(self.unit_coded, xc, yc, nc,
+                                           self.h // 2, self.w // 2, unit=2)
+            ref_top, ref_left = rs.fill_reference_samples(plane, xc, yc, nc,
+                                                          flags, unit=2)
+            pred = intra.predict_one_mode_np(ref_top, ref_left, chroma_mode,
+                                             filtered_edges=False)
+            if cbf:
+                tskip = 0
+                if self.pps.transform_skip_enabled and nc == 4:
+                    tskip = self.dec.decode_bin(
+                        self.ctx, OFFSETS.transform_skip_chroma)
+                q = syntax.decode_coefficients(self.dec, self.ctx, nc,
+                                               chroma_mode,
+                                               self.pps.sign_data_hiding,
+                                               channel=syntax.CHROMA)
+                deq = transform.dequantize_np(q[None], qpc)[0]
+                if tskip:
+                    tshift = transform.transform_shift(2)
+                    resi = (deq + (1 << (tshift - 1))) >> tshift
+                else:
+                    resi = transform.inverse_transform_np(deq[None],
+                                                          use_dst=False)[0]
+                rec = np.clip(pred + resi, 0, 255)
+            else:
+                rec = pred
+            plane[yc:yc + nc, xc:xc + nc] = rec
+
     # -------------------------------------------------------------- frame ----
 
-    def _decode_sao_ctu(self, cy: int, cx: int):
-        grid = self.sao_grid
-        if cx > 0 and self.dec.decode_bin(self.ctx, OFFSETS.sao_merge):
-            grid[cy][cx] = grid[cy][cx - 1]
-            return
-        if cy > 0 and self.dec.decode_bin(self.ctx, OFFSETS.sao_merge):
-            grid[cy][cx] = grid[cy - 1][cx]
-            return
-        if not self.dec.decode_bin(self.ctx, OFFSETS.sao_type):
-            grid[cy][cx] = sao_mod.SaoParams()
-            return
-        is_eo = bool(self.dec.decode_bin_ep())
+    def _parse_sao_offsets(self, mode: int, eo_class_or_none):
+        """Offsets (+signs/band for BO) for one component with a known type."""
         mags = [sao_mod._decode_offset_mag(self.dec) for _ in range(4)]
-        if not is_eo:
+        if mode == sao_mod.MODE_BO:
             offsets = []
             for m in mags:
                 if m != 0 and self.dec.decode_bin_ep():
@@ -268,21 +373,58 @@ class HmFrameDecoder:
                 else:
                     offsets.append(m)
             pos = self.dec.decode_bins_ep(5)
-            grid[cy][cx] = sao_mod.SaoParams(sao_mod.MODE_BO, pos, tuple(offsets))
-        else:
-            eo_class = self.dec.decode_bins_ep(2)
-            grid[cy][cx] = sao_mod.SaoParams(
-                sao_mod.MODE_EO, eo_class, (mags[0], mags[1], -mags[2], -mags[3]))
+            return sao_mod.SaoParams(sao_mod.MODE_BO, pos, tuple(offsets))
+        offsets = (mags[0], mags[1], -mags[2], -mags[3])
+        eo_class = (self.dec.decode_bins_ep(2)
+                    if eo_class_or_none is None else eo_class_or_none)
+        return sao_mod.SaoParams(sao_mod.MODE_EO, eo_class, offsets)
+
+    def _parse_sao_type(self) -> int:
+        if not self.dec.decode_bin(self.ctx, OFFSETS.sao_type):
+            return sao_mod.MODE_OFF
+        return sao_mod.MODE_EO if self.dec.decode_bin_ep() else sao_mod.MODE_BO
+
+    def _decode_sao_ctu(self, cy: int, cx: int):
+        grids = [g for g in (self.sao_grid, self.sao_grid_cb, self.sao_grid_cr)
+                 if g is not None]
+        if cx > 0 and self.dec.decode_bin(self.ctx, OFFSETS.sao_merge):
+            for g in grids:
+                g[cy][cx] = g[cy][cx - 1]
+            return
+        if cy > 0 and self.dec.decode_bin(self.ctx, OFFSETS.sao_merge):
+            for g in grids:
+                g[cy][cx] = g[cy - 1][cx]
+            return
+        if self.sh.sao_luma:
+            mode = self._parse_sao_type()
+            self.sao_grid[cy][cx] = (sao_mod.SaoParams() if mode == 0
+                                     else self._parse_sao_offsets(mode, None))
+        if self.chroma and self.sh.sao_chroma:
+            mode = self._parse_sao_type()  # sao_type_idx_chroma: cb + cr
+            if mode == sao_mod.MODE_OFF:
+                self.sao_grid_cb[cy][cx] = sao_mod.SaoParams()
+                self.sao_grid_cr[cy][cx] = sao_mod.SaoParams()
+            else:
+                pcb = self._parse_sao_offsets(mode, None)
+                # Cr shares the type and EO class with Cb; own offsets/band.
+                eo = pcb.type_aux if pcb.mode == sao_mod.MODE_EO else None
+                pcr = self._parse_sao_offsets(mode, eo)
+                self.sao_grid_cb[cy][cx] = pcb
+                self.sao_grid_cr[cy][cx] = pcr
 
     def decode(self) -> HmDecodeResult:
         n_ctu_y = (self.h + self.ctu - 1) // self.ctu
         n_ctu_x = (self.w + self.ctu - 1) // self.ctu
+        sao_any = self.sh.sao_luma or (self.chroma and self.sh.sao_chroma)
         if self.sh.sao_luma:
             self.sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
+        if self.chroma and self.sh.sao_chroma:
+            self.sao_grid_cb = [[None] * n_ctu_x for _ in range(n_ctu_y)]
+            self.sao_grid_cr = [[None] * n_ctu_x for _ in range(n_ctu_y)]
         log2_ctu = self.sps.log2_max_cb
         for cy in range(n_ctu_y):
             for cx in range(n_ctu_x):
-                if self.sh.sao_luma:
+                if sao_any:
                     self._decode_sao_ctu(cy, cx)
                 self._decode_cu(cx * self.ctu, cy * self.ctu, log2_ctu, 0)
                 end = self.dec.decode_bin_trm()
@@ -292,14 +434,26 @@ class HmFrameDecoder:
                         f"end_of_slice_segment_flag desync at CTU ({cy},{cx})")
 
         out = self.recon.astype(np.uint8)
+        out_cb = self.recon_cb.astype(np.uint8) if self.chroma else None
+        out_cr = self.recon_cr.astype(np.uint8) if self.chroma else None
         if not self.sh.deblocking_disabled:
             from . import deblock
 
             out = deblock.deblock_luma(out, self.tu_map, self.qp)
+            if self.chroma:
+                out_cb = deblock.deblock_chroma(out_cb, self.tu_map, self.qp_cb)
+                out_cr = deblock.deblock_chroma(out_cr, self.tu_map, self.qp_cr)
         if self.sh.sao_luma:
             grid = [[p if p is not None else sao_mod.SaoParams() for p in row]
                     for row in self.sao_grid]
             out = sao_mod.apply_sao(out, grid, self.ctu)
+        if self.chroma and self.sh.sao_chroma:
+            grid_cb = [[p if p is not None else sao_mod.SaoParams()
+                        for p in row] for row in self.sao_grid_cb]
+            grid_cr = [[p if p is not None else sao_mod.SaoParams()
+                        for p in row] for row in self.sao_grid_cr]
+            out_cb = sao_mod.apply_sao(out_cb, grid_cb, self.ctu // 2)
+            out_cr = sao_mod.apply_sao(out_cr, grid_cr, self.ctu // 2)
 
         hash_checked = hash_ok = False
         if self.stream.picture_hash is not None:
@@ -307,8 +461,14 @@ class HmFrameDecoder:
             if hash_type == 2 and values:
                 hash_checked = True
                 hash_ok = hm_bitstream.picture_checksum(out) == values[0]
+                if self.chroma and len(values) >= 3:
+                    hash_ok = (hash_ok
+                               and hm_bitstream.picture_checksum(out_cb) == values[1]
+                               and hm_bitstream.picture_checksum(out_cr) == values[2])
         return HmDecodeResult(out, self.qp, self.mode_map.copy(),
-                              hash_checked, hash_ok)
+                              hash_checked, hash_ok,
+                              reconstruction_cb=out_cb,
+                              reconstruction_cr=out_cr)
 
 
 def decode_hm_stream(annexb: bytes) -> HmDecodeResult:

@@ -84,19 +84,51 @@ def decode_intra_mode(dec: cabac.CabacDecoder, ctx: np.ndarray, mpms) -> int:
 
 
 # -------------------------------------------------------------- residual ----
+#
+# Channel-dependent parameters (HM `TComTrQuant::getSigCtxInc`,
+# `getLastSignificantContextParameters`, `ContextTables.h`
+# significanceMapContextSetStart {luma {0,9,21,27}, chroma {0,9,12,15}},
+# nonDiagonalScan8x8ContextOffset {6, 0},
+# notFirstGroupNeighbourhoodContextOffset {3, 0}).
 
-def _last_ctx_params(log2n: int):
-    """(blkSizeOffset, shift) for last-significant-XY context (luma)."""
+
+class _ChannelParams:
+    def __init__(self, is_chroma: bool):
+        self.is_chroma = is_chroma
+        if is_chroma:
+            self.sig = OFFSETS.sig_chroma
+            self.sig_cg = OFFSETS.sig_cg_chroma
+            self.last_x = OFFSETS.last_x_chroma
+            self.last_y = OFFSETS.last_y_chroma
+            self.greater1 = OFFSETS.greater1_chroma
+            self.greater2 = OFFSETS.greater2_chroma
+        else:
+            self.sig = OFFSETS.sig
+            self.sig_cg = OFFSETS.sig_cg
+            self.last_x = OFFSETS.last_x
+            self.last_y = OFFSETS.last_y
+            self.greater1 = OFFSETS.greater1
+            self.greater2 = OFFSETS.greater2
+
+
+LUMA = _ChannelParams(False)
+CHROMA = _ChannelParams(True)
+
+
+def _last_ctx_params(log2n: int, ch: _ChannelParams):
+    """(blkSizeOffset, shift) for last-significant-XY context."""
+    if ch.is_chroma:
+        return 0, log2n - 2
     return ((log2n - 2) * 3 + ((log2n - 1) >> 2)), ((log2n + 1) >> 2)
 
 
 def _sig_ctx(pattern: int, pos_x: int, pos_y: int, log2n: int, scan_type: int,
-             first_ctx: int) -> int:
-    """Absolute sig_coeff_flag context index (luma)."""
+             first_ctx: int, ch: _ChannelParams) -> int:
+    """Absolute sig_coeff_flag context index."""
     if pos_x + pos_y == 0:
-        return OFFSETS.sig + 0
+        return ch.sig + 0
     if log2n == 2:
-        return OFFSETS.sig + int(CTX_IND_MAP_4X4[4 * pos_y + pos_x])
+        return ch.sig + int(CTX_IND_MAP_4X4[4 * pos_y + pos_x])
     px, py = pos_x & 3, pos_y & 3
     if pattern == 0:
         total = px + py
@@ -108,32 +140,47 @@ def _sig_ctx(pattern: int, pos_x: int, pos_y: int, log2n: int, scan_type: int,
     else:
         cnt = 2
     not_first_group = ((pos_x >> 2) + (pos_y >> 2)) > 0
-    return OFFSETS.sig + first_ctx + (3 if not_first_group else 0) + cnt
+    nfg_off = (0 if ch.is_chroma else 3) if not_first_group else 0
+    return ch.sig + first_ctx + nfg_off + cnt
 
 
-def _first_sig_ctx(n: int, scan_type: int) -> int:
+def _first_sig_ctx(n: int, scan_type: int, ch: _ChannelParams) -> int:
     if n == 4:
         return 0
+    if ch.is_chroma:
+        return 9 if n == 8 else 12
     if n == 8:
         return 9 + (6 if scan_type != scans.SCAN_DIAG else 0)
     return 21
 
 
-def _greater1_ctx_set(subset_idx: int, prev_c1_zero: bool) -> int:
-    return (2 if subset_idx > 0 else 0) + (1 if prev_c1_zero else 0)
+def _greater1_ctx_set(subset_idx: int, prev_c1_zero: bool,
+                      ch: _ChannelParams) -> int:
+    base = 2 if (subset_idx > 0 and not ch.is_chroma) else 0
+    return base + (1 if prev_c1_zero else 0)
+
+
+def _scan_for(mode: int, n: int, ch: _ChannelParams) -> int:
+    """Mode-dependent coefficient scan: luma up to 8x8, chroma only 4x4
+    (HM getCoefScanIdx)."""
+    if ch.is_chroma and n > 4:
+        return scans.SCAN_DIAG
+    return scans.select_scan(mode, n)
 
 
 def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
                         coeffs: np.ndarray, mode: int,
-                        sign_hiding: bool = False):
-    """Encodes one non-empty n x n luma TU coefficient block."""
+                        sign_hiding: bool = False,
+                        channel: _ChannelParams = LUMA):
+    """Encodes one non-empty n x n TU coefficient block (luma or chroma)."""
+    ch = channel
     n = coeffs.shape[0]
     log2n = n.bit_length() - 1
-    scan_type = scans.select_scan(mode, n)
+    scan_type = _scan_for(mode, n, ch)
     scan = scans.scan_order(n, n, scan_type)
     scan_cg = scans.cg_scan_order(n, n, scan_type)
     flat = coeffs.reshape(-1)
-    first_ctx = _first_sig_ctx(n, scan_type)
+    first_ctx = _first_sig_ctx(n, scan_type, ch)
     width_in_groups = max(n // 4, 1)
 
     nz_scan_positions = np.nonzero(flat[scan] != 0)[0]
@@ -154,15 +201,15 @@ def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
         lx, ly = ly, lx
     group_x = int(scans.GROUP_IDX[lx])
     group_y = int(scans.GROUP_IDX[ly])
-    blk_offset, shift = _last_ctx_params(log2n)
+    blk_offset, shift = _last_ctx_params(log2n, ch)
     for c in range(group_x):
-        enc.encode_bin(1, ctx, OFFSETS.last_x + blk_offset + (c >> shift))
+        enc.encode_bin(1, ctx, ch.last_x + blk_offset + (c >> shift))
     if group_x < int(scans.GROUP_IDX[n - 1]):
-        enc.encode_bin(0, ctx, OFFSETS.last_x + blk_offset + (group_x >> shift))
+        enc.encode_bin(0, ctx, ch.last_x + blk_offset + (group_x >> shift))
     for c in range(group_y):
-        enc.encode_bin(1, ctx, OFFSETS.last_y + blk_offset + (c >> shift))
+        enc.encode_bin(1, ctx, ch.last_y + blk_offset + (c >> shift))
     if group_y < int(scans.GROUP_IDX[n - 1]):
-        enc.encode_bin(0, ctx, OFFSETS.last_y + blk_offset + (group_y >> shift))
+        enc.encode_bin(0, ctx, ch.last_y + blk_offset + (group_y >> shift))
     if group_x > 3:
         count = (group_x - 2) >> 1
         rem = lx - int(scans.MIN_IN_GROUP[group_x])
@@ -206,7 +253,7 @@ def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
             right = cg_x < width_in_groups - 1 and sig_cg[cg_blk + 1]
             below = cg_y < width_in_groups - 1 and sig_cg[cg_blk + width_in_groups]
             ctx_cg = 1 if (right or below) else 0
-            enc.encode_bin(int(sig_cg[cg_blk]), ctx, OFFSETS.sig_cg + ctx_cg)
+            enc.encode_bin(int(sig_cg[cg_blk]), ctx, ch.sig_cg + ctx_cg)
 
         if sig_cg[cg_blk]:
             right = cg_x < width_in_groups - 1 and sig_cg[cg_blk + 1]
@@ -217,7 +264,7 @@ def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
                 py, px = divmod(rp, n)
                 sig = 1 if flat[rp] != 0 else 0
                 if scan_pos_sig > sub_pos or subset == 0 or num_nonzero:
-                    ctx_sig = _sig_ctx(pattern, px, py, log2n, scan_type, first_ctx)
+                    ctx_sig = _sig_ctx(pattern, px, py, log2n, scan_type, first_ctx, ch)
                     enc.encode_bin(sig, ctx, ctx_sig)
                 if sig:
                     v = int(flat[rp])
@@ -233,9 +280,9 @@ def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
 
         if num_nonzero > 0:
             hidden = sign_hiding and (last_nz_in_cg - first_nz_in_cg >= SBH_THRESHOLD)
-            ctx_set = _greater1_ctx_set(subset, c1 == 0)
+            ctx_set = _greater1_ctx_set(subset, c1 == 0, ch)
             c1 = 1
-            base_g1 = OFFSETS.greater1 + 4 * ctx_set
+            base_g1 = ch.greater1 + 4 * ctx_set
             escape_present = False
             num_c1 = min(num_nonzero, C1FLAG_NUMBER)
             first_c2_idx = -1
@@ -252,7 +299,7 @@ def encode_coefficients(enc: cabac.CabacEncoder, ctx: np.ndarray,
                     c1 += 1
             if c1 == 0 and first_c2_idx != -1:
                 symbol = 1 if abs_coeffs[first_c2_idx] > 2 else 0
-                enc.encode_bin(symbol, ctx, OFFSETS.greater2 + ctx_set)
+                enc.encode_bin(symbol, ctx, ch.greater2 + ctx_set)
                 if symbol:
                     escape_present = True
             escape_present = escape_present or (num_nonzero > C1FLAG_NUMBER)
@@ -303,26 +350,28 @@ def _read_coef_remain(dec: cabac.CabacDecoder, r_param: int) -> int:
 
 
 def decode_coefficients(dec: cabac.CabacDecoder, ctx: np.ndarray, n: int,
-                        mode: int, sign_hiding: bool = False) -> np.ndarray:
-    """Decodes one non-empty n x n luma TU -> int32 coefficient block."""
+                        mode: int, sign_hiding: bool = False,
+                        channel: _ChannelParams = LUMA) -> np.ndarray:
+    """Decodes one non-empty n x n TU -> int32 coefficient block."""
+    ch = channel
     log2n = n.bit_length() - 1
-    scan_type = scans.select_scan(mode, n)
+    scan_type = _scan_for(mode, n, ch)
     scan = scans.scan_order(n, n, scan_type)
     scan_cg = scans.cg_scan_order(n, n, scan_type)
-    first_ctx = _first_sig_ctx(n, scan_type)
+    first_ctx = _first_sig_ctx(n, scan_type, ch)
     width_in_groups = max(n // 4, 1)
     flat = np.zeros(n * n, dtype=np.int32)
 
     # ---- last position ----
-    blk_offset, shift = _last_ctx_params(log2n)
+    blk_offset, shift = _last_ctx_params(log2n, ch)
     max_group = int(scans.GROUP_IDX[n - 1])
     group_x = 0
     while group_x < max_group and dec.decode_bin(
-            ctx, OFFSETS.last_x + blk_offset + (group_x >> shift)):
+            ctx, ch.last_x + blk_offset + (group_x >> shift)):
         group_x += 1
     group_y = 0
     while group_y < max_group and dec.decode_bin(
-            ctx, OFFSETS.last_y + blk_offset + (group_y >> shift)):
+            ctx, ch.last_y + blk_offset + (group_y >> shift)):
         group_y += 1
     lx = int(scans.MIN_IN_GROUP[group_x])
     if group_x > 3:
@@ -370,7 +419,7 @@ def decode_coefficients(dec: cabac.CabacDecoder, ctx: np.ndarray, n: int,
             right = cg_x < width_in_groups - 1 and sig_cg[cg_blk + 1]
             below = cg_y < width_in_groups - 1 and sig_cg[cg_blk + width_in_groups]
             ctx_cg = 1 if (right or below) else 0
-            sig_cg[cg_blk] = dec.decode_bin(ctx, OFFSETS.sig_cg + ctx_cg)
+            sig_cg[cg_blk] = dec.decode_bin(ctx, ch.sig_cg + ctx_cg)
 
         if sig_cg[cg_blk]:
             right = cg_x < width_in_groups - 1 and sig_cg[cg_blk + 1]
@@ -380,7 +429,7 @@ def decode_coefficients(dec: cabac.CabacDecoder, ctx: np.ndarray, n: int,
                 rp = int(scan[scan_pos_sig])
                 py, px = divmod(rp, n)
                 if scan_pos_sig > sub_pos or subset == 0 or num_nonzero:
-                    ctx_sig = _sig_ctx(pattern, px, py, log2n, scan_type, first_ctx)
+                    ctx_sig = _sig_ctx(pattern, px, py, log2n, scan_type, first_ctx, ch)
                     sig = dec.decode_bin(ctx, ctx_sig)
                 else:
                     sig = 1  # inferred DC significance
@@ -396,9 +445,9 @@ def decode_coefficients(dec: cabac.CabacDecoder, ctx: np.ndarray, n: int,
 
         if num_nonzero > 0:
             hidden = sign_hiding and (last_nz_in_cg - first_nz_in_cg >= SBH_THRESHOLD)
-            ctx_set = _greater1_ctx_set(subset, c1 == 0)
+            ctx_set = _greater1_ctx_set(subset, c1 == 0, ch)
             c1 = 1
-            base_g1 = OFFSETS.greater1 + 4 * ctx_set
+            base_g1 = ch.greater1 + 4 * ctx_set
             abs_levels = [1] * num_nonzero
             num_c1 = min(num_nonzero, C1FLAG_NUMBER)
             first_c2_idx = -1
@@ -414,7 +463,7 @@ def decode_coefficients(dec: cabac.CabacDecoder, ctx: np.ndarray, n: int,
                     c1 += 1
             gt2 = 0
             if c1 == 0 and first_c2_idx != -1:
-                gt2 = dec.decode_bin(ctx, OFFSETS.greater2 + ctx_set)
+                gt2 = dec.decode_bin(ctx, ch.greater2 + ctx_set)
 
             n_signs = num_nonzero - 1 if hidden else num_nonzero
             coeff_signs = dec.decode_bins_ep(n_signs) if n_signs else 0

@@ -36,39 +36,43 @@ def unit_grid_shape(height: int, width: int):
 
 
 def neighbor_unit_flags(unit_coded: np.ndarray, x: int, y: int, n: int,
-                        height: int, width: int) -> np.ndarray:
-    """Availability flags in HM line order for an n x n TU at (x, y).
+                        height: int, width: int, unit: int = UNIT) -> np.ndarray:
+    """Availability flags in HM line order for an n x n TB at (x, y).
 
-    Order: [below-left bottom..top (n/4 units... actually 2n/4 left units
-    bottom to top), corner, above left..right (2n/4 units)].
+    Order: [below-left + left bottom..top (2n/unit units), corner, above +
+    above-right left..right (2n/unit units)].  `unit` is the availability
+    granularity in this channel's samples: 4 for luma, 2 for 4:2:0 chroma
+    (both index the same luma 4x4-unit `unit_coded` grid).
     """
-    n_units = (2 * n) // UNIT
+    n_units = (2 * n) // unit
     flags = np.zeros(2 * n_units + 1, dtype=bool)
 
     def unit_ok(px: int, py: int) -> bool:
         if px < 0 or py < 0 or px >= width or py >= height:
             return False
-        return bool(unit_coded[py // UNIT, px // UNIT])
+        return bool(unit_coded[py // unit, px // unit])
 
     # Left + below-left units: sample column x-1, rows y .. y+2n-1; flag order
     # starts at the *bottom-most* unit.
     for j in range(n_units):
-        py = y + 2 * n - UNIT - j * UNIT   # bottom to top
+        py = y + 2 * n - unit - j * unit   # bottom to top
         flags[j] = unit_ok(x - 1, py)
     flags[n_units] = unit_ok(x - 1, y - 1)  # corner
     for j in range(n_units):
-        px = x + j * UNIT
+        px = x + j * unit
         flags[n_units + 1 + j] = unit_ok(px, y - 1)
     return flags
 
 
 def fill_reference_samples(recon: np.ndarray, x: int, y: int, n: int,
-                           flags: np.ndarray):
+                           flags: np.ndarray, unit: int = UNIT):
     """Builds (ref_top (2n+1,), ref_left (2n+1,)) int32 per HM fill rules.
 
-    `recon` is the (H, W) reconstruction buffer; (x, y) the TU top-left.
+    `recon` is the (H, W) reconstruction buffer; (x, y) the TB top-left;
+    `unit` the availability granularity (4 luma, 2 chroma 4:2:0).
     """
     height, width = recon.shape
+    UNIT = unit
     n_units = (2 * n) // UNIT
     total_units = 2 * n_units + 1
     num_avail = int(flags.sum())
