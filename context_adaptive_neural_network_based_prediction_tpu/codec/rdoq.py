@@ -25,7 +25,8 @@ import numpy as np
 from ..ops import transform
 from . import cabac, scans
 from .contexts import OFFSETS
-from .syntax import C1FLAG_NUMBER, _first_sig_ctx, _last_ctx_params, _sig_ctx
+from .syntax import (C1FLAG_NUMBER, LUMA, _first_sig_ctx,
+                     _last_ctx_params, _scan_for, _sig_ctx)
 
 SCALE_BITS = 15
 C2FLAG_NUMBER = 1
@@ -70,20 +71,24 @@ def _ic_rate(abs_level: int, g1_bits0: int, g1_bits1: int, g2_bits0: int,
 
 def rdoq(coeffs: np.ndarray, qp: int, mode: int, lam: float,
          ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1,
-         sign_hiding: bool = False) -> np.ndarray:
-    """Dispatches to the native RDOQ when available (identical output)."""
+         sign_hiding: bool = False, channel=LUMA) -> np.ndarray:
+    """Dispatches to the native RDOQ when available (identical output).
+
+    The native port covers luma; chroma TUs route through the Python path
+    with the chroma context set."""
     from . import native
 
-    if native.available():
+    if native.available() and not channel.is_chroma:
         return native.rdoq_tu_native(coeffs, qp, mode, lam, ctx_states,
                                      cbf_ctx_offset, sign_hiding)
     return rdoq_python(coeffs, qp, mode, lam, ctx_states,
-                       cbf_ctx_offset=cbf_ctx_offset, sign_hiding=sign_hiding)
+                       cbf_ctx_offset=cbf_ctx_offset, sign_hiding=sign_hiding,
+                       channel=channel)
 
 
 def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                 ctx_states: np.ndarray, *, cbf_ctx_offset: int = 1,
-                sign_hiding: bool = False) -> np.ndarray:
+                sign_hiding: bool = False, channel=LUMA) -> np.ndarray:
     """RD-optimized quantization of one n x n luma TU.
 
     `ctx_states` is the running context array (read-only here; RDOQ uses it
@@ -101,11 +106,12 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                  / qscale / qscale)
     entropy_max = (1 << transform.MAX_TR_DYNAMIC_RANGE) - 1
 
-    scan_type = scans.select_scan(mode, n)
+    ch = channel
+    scan_type = _scan_for(mode, n, ch)
     scan = scans.scan_order(n, n, scan_type)
     scan_cg = scans.cg_scan_order(n, n, scan_type)
     wig = max(n // 4, 1)
-    first_ctx = _first_sig_ctx(n, scan_type)
+    first_ctx = _first_sig_ctx(n, scan_type, ch)
     flat = coeffs.reshape(-1)
     total = n * n
     cg_num = max(total >> 4, 1)
@@ -144,10 +150,10 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
 
     def get_ic_rate(level, one_ctx, abs_ctx, rice, c1i, c2i):
         return _ic_rate(level,
-                        _bits(ctx_states, OFFSETS.greater1 + one_ctx, 0),
-                        _bits(ctx_states, OFFSETS.greater1 + one_ctx, 1),
-                        _bits(ctx_states, OFFSETS.greater2 + abs_ctx, 0),
-                        _bits(ctx_states, OFFSETS.greater2 + abs_ctx, 1),
+                        _bits(ctx_states, ch.greater1 + one_ctx, 0),
+                        _bits(ctx_states, ch.greater1 + one_ctx, 1),
+                        _bits(ctx_states, ch.greater2 + abs_ctx, 0),
+                        _bits(ctx_states, ch.greater2 + abs_ctx, 1),
                         rice, c1i, c2i)
 
     def ic_cost(rate):
@@ -176,14 +182,15 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
             dst[blk] = ma
             if ma > 0 and last_scan_pos < 0:
                 last_scan_pos = scan_pos
-                ctx_set = (2 if (scan_pos >> 4) > 0 else 0)
+                ctx_set = (2 if ((scan_pos >> 4) > 0
+                                 and not ch.is_chroma) else 0)
                 cg_last_scan_pos = cg_scan_pos
 
             if last_scan_pos >= 0:
                 one_ctx = 4 * ctx_set + c1
                 # HM: uiAbsCtx = ctxSet + c2 (c2 can exceed the per-set slot -
                 # an HM estimation quirk); clamp into the luma table.
-                abs_ctx = min(ctx_set + c2, 3)
+                abs_ctx = min(ctx_set + c2, 1 if ch.is_chroma else 3)
                 is_last = scan_pos == last_scan_pos
                 if is_last:
                     sig_ctx_inc = 0
@@ -191,7 +198,7 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                 else:
                     py, px = divmod(blk, n)
                     sig_ctx_inc = _sig_ctx(pattern, px, py, log2n, scan_type,
-                                           first_ctx)
+                                           first_ctx, ch)
                     cost_sig_1 = ic_cost(sig_bits(sig_ctx_inc, 1))
 
                 # xGetCodedLevel
@@ -231,7 +238,7 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                         level - 1, one_ctx, abs_ctx, go_rice, c1_idx, c2_idx) - rate_now
                 else:
                     rate_inc_up[blk] = _bits(ctx_states,
-                                             OFFSETS.greater1 + one_ctx, 0)
+                                             ch.greater1 + one_ctx, 0)
 
                 base_level = (2 + (1 if c2_idx < C2FLAG_NUMBER else 0)) \
                     if c1_idx < C1FLAG_NUMBER else 1
@@ -246,7 +253,8 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                 elif 0 < c1 < 3 and level:
                     c1 += 1
                 if scan_pos % cg_size == 0 and scan_pos > 0:
-                    ctx_set = (2 if ((scan_pos - 1) >> 4) > 0 else 0) \
+                    ctx_set = (2 if (((scan_pos - 1) >> 4) > 0
+                                     and not ch.is_chroma) else 0) \
                         + (1 if c1 == 0 else 0)
                     c1, c2 = 1, 0
                     c1_idx = c2_idx = 0
@@ -269,7 +277,7 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
             if cg_scan_pos:
                 cg_ctx = 1 if (right or below) else 0
                 if sig_cg_flags[cg_blk] == 0:
-                    rate0 = ic_cost(_bits(ctx_states, OFFSETS.sig_cg + cg_ctx, 0))
+                    rate0 = ic_cost(_bits(ctx_states, ch.sig_cg + cg_ctx, 0))
                     base_cost += rate0 - rd_sig_cost
                     cost_cg_sig[cg_scan_pos] = rate0
                 else:
@@ -278,8 +286,8 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                             base_cost -= rd_sig_cost_0
                             rd_sig_cost -= rd_sig_cost_0
                         cost_zero_cg = base_cost
-                        rate1 = ic_cost(_bits(ctx_states, OFFSETS.sig_cg + cg_ctx, 1))
-                        rate0 = ic_cost(_bits(ctx_states, OFFSETS.sig_cg + cg_ctx, 0))
+                        rate1 = ic_cost(_bits(ctx_states, ch.sig_cg + cg_ctx, 1))
+                        rate0 = ic_cost(_bits(ctx_states, ch.sig_cg + cg_ctx, 0))
                         base_cost += rate1
                         cost_zero_cg += rate0
                         cost_cg_sig[cg_scan_pos] = rate1
@@ -304,12 +312,13 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
         return np.zeros((n, n), dtype=np.int32)
 
     # ---- last-position / CBF decision ----
-    cbf_idx = OFFSETS.cbf_luma + cbf_ctx_offset
+    cbf_base = OFFSETS.cbf_chroma if ch.is_chroma else OFFSETS.cbf_luma
+    cbf_idx = cbf_base + cbf_ctx_offset
     best_cost = block_uncoded_cost + ic_cost(_bits(ctx_states, cbf_idx, 0))
     base_cost += ic_cost(_bits(ctx_states, cbf_idx, 1))
     best_last_idx_p1 = 0
 
-    blk_offset, shift = _last_ctx_params(log2n)
+    blk_offset, shift = _last_ctx_params(log2n, ch)
     max_group = int(scans.GROUP_IDX[n - 1])
 
     def rate_last(pos_x, pos_y):
@@ -318,13 +327,13 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
         cost = 0
         # lastXBits[gx]: gx ones + terminating zero (if below max group).
         for c in range(gx):
-            cost += _bits(ctx_states, OFFSETS.last_x + blk_offset + (c >> shift), 1)
+            cost += _bits(ctx_states, ch.last_x + blk_offset + (c >> shift), 1)
         if gx < max_group:
-            cost += _bits(ctx_states, OFFSETS.last_x + blk_offset + (gx >> shift), 0)
+            cost += _bits(ctx_states, ch.last_x + blk_offset + (gx >> shift), 0)
         for c in range(gy):
-            cost += _bits(ctx_states, OFFSETS.last_y + blk_offset + (c >> shift), 1)
+            cost += _bits(ctx_states, ch.last_y + blk_offset + (c >> shift), 1)
         if gy < max_group:
-            cost += _bits(ctx_states, OFFSETS.last_y + blk_offset + (gy >> shift), 0)
+            cost += _bits(ctx_states, ch.last_y + blk_offset + (gy >> shift), 0)
         if gx > 3:
             cost += IEP_RATE * ((gx - 2) >> 1)
         if gy > 3:

@@ -11,6 +11,9 @@ rot90/flip/position augmentation on the fly per example.
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, "/root/repo")
 
 from context_adaptive_neural_network_based_prediction_tpu.data import datasets
 
