@@ -31,6 +31,9 @@ def main():
     p.add_argument("--output-dir", default="results/rate_distortion")
     p.add_argument("--wavefront", action="store_true",
                    help="use the TPU wavefront encoder (regular only)")
+    p.add_argument("--hm-container", action="store_true",
+                   help="measure rates on standard Annex-B HEVC output "
+                        "(NAL-exact comparison against HM binaries)")
     args = p.parse_args()
 
     luma = load_luminance(args.input, args.height, args.width)
@@ -53,7 +56,8 @@ def main():
         cache = os.path.join(args.cache_dir, f"{name}_{policy}.pkl")
         points = performance.compute_or_load_rates_psnrs(
             luma, args.qps, path_to_cache=cache, policy=policy, pnn=pnn,
-            use_wavefront=args.wavefront and policy == "regular")
+            use_wavefront=args.wavefront and policy == "regular",
+            use_hm_container=args.hm_container)
         all_points[policy] = points
         for pt in points:
             print(f"{policy} QP{pt.qp}: {pt.rate_bpp:.4f} bpp "

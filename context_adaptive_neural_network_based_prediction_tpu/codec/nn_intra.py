@@ -50,7 +50,11 @@ class PnnBundle:
 
     def params_for_qp(self, qp: int) -> Dict[int, dict]:
         if self.pair_params is not None and qp >= QP_PAIR_THRESHOLD:
-            return self.pair_params
+            # Per-width fallback: widths without a pair model keep the
+            # clean-trained one (a partial pair zoo must not lose widths).
+            merged = dict(self.params)
+            merged.update(self.pair_params)
+            return merged
         return self.params
 
     def mean_for(self, n: int) -> float:

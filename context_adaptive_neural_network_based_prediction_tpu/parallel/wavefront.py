@@ -352,26 +352,44 @@ def encode_frame_wavefront(frame_uint8: np.ndarray, qp: int, *,
 
 
 def encode_frame_wavefront_hm(frame_uint8: np.ndarray, qp: int, *,
-                              block_size: int = 16):
+                              block_size: int = 16,
+                              loop_filters: bool = True):
     """Wavefront device encode -> standard Annex-B HEVC stream.
 
     The stream declares CTB size 16 (legal HEVC: CtbLog2SizeY = 4), so the
     device's raster/wavefront causal availability IS the HEVC coding order -
     each 16x16 grid block is one CTU with a 2Nx2N PU and one unsplit TU.
-    Loop filters off, decoded-picture-hash SEI embedded; stock HM-16.15
-    TAppDecoderStatic reconstructs the device output bit-exactly.
-    Returns (annexb_stream, EncodeResult).
+
+    With `loop_filters`, deblocking is signalled and SAO parameters are
+    estimated per CTB - both are normative POST-passes for All-Intra
+    (prediction uses the unfiltered reconstruction), so the device encode is
+    untouched and only the output picture improves.  Decoded-picture-hash
+    SEI embedded; stock HM-16.15 TAppDecoderStatic reconstructs the final
+    picture bit-exactly.  Returns (annexb_stream, EncodeResult).
     """
-    from ..codec import hm_encoder
+    from ..codec import deblock, hm_encoder, rdo
+    from ..codec import sao as sao_mod
 
     if block_size != 16:
         raise ValueError("HM output is defined for the 16x16 grid (CTB 16)")
     res = encode_frame_wavefront(frame_uint8, qp, block_size=block_size,
                                  serialize=False)
+    sao_grid = None
+    if loop_filters:
+        # The per-block grid is its own TU map (every block one CU/TU).
+        h, w = frame_uint8.shape
+        uh, uw = h // 4, w // 4
+        tu_ids = (np.arange(uh)[:, None] // 4 * (uw // 4)
+                  + np.arange(uw)[None, :] // 4)
+        final = deblock.deblock_luma(res.reconstruction, tu_ids, qp)
+        lam = rdo.lambda_for_qp(qp)
+        sao_grid = sao_mod.estimate_frame(frame_uint8, final, block_size, lam)
+        final = sao_mod.apply_sao(final, sao_grid, block_size)
+        res.reconstruction = final
     stream = hm_encoder.assemble_hm_stream(
-        res, sao_enabled=False, deblocking=False, sign_hiding=False,
-        transform_skip=False, max_tu_depth=0, sao_grid=None,
-        ctu_size=block_size)
+        res, sao_enabled=loop_filters, deblocking=loop_filters,
+        sign_hiding=False, transform_skip=False, max_tu_depth=0,
+        sao_grid=sao_grid, ctu_size=block_size)
     res.bitstream = stream
     res.num_bits = len(stream) * 8
     return stream, res

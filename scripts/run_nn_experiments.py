@@ -55,22 +55,24 @@ def load_bundle():
         params[w] = importer.import_tf_checkpoint(ckpt)
         arch[w] = False
         means[w] = ref_mean
+    pair_params = {}
     for w in (16, 32):
-        path, step = training.find_latest_checkpoint(
-            f"{OWN}/width_target_{w}/convolutional/single/luminance/"
-            "1_0/masks_tr_random")
-        if path is None:
-            print(f"width {w}: no trained checkpoint yet, skipping")
-            continue
-        state = training.restore_checkpoint(path, w)
-        params[w] = state.params
-        arch[w] = False
-        means[w] = own_mean
-        # Freeze for the manifest-based CLI path too.
-        os.makedirs(FROZEN, exist_ok=True)
-        freeze_checkpoint(path, f"{FROZEN}/pnn_w{w}_single.npz")
-        print(f"width {w}: using {path} (step {step})")
-    return PnnBundle(params, arch, means)
+        for kind, store in (("single", params), ("pair", pair_params)):
+            path, step = training.find_latest_checkpoint(
+                f"{OWN}/width_target_{w}/convolutional/{kind}/luminance/"
+                "1_0/masks_tr_random")
+            if path is None:
+                print(f"width {w} {kind}: no trained checkpoint, skipping")
+                continue
+            state = training.restore_checkpoint(path, w)
+            store[w] = state.params
+            arch[w] = False
+            means[w] = own_mean
+            os.makedirs(FROZEN, exist_ok=True)
+            freeze_checkpoint(path, f"{FROZEN}/pnn_w{w}_{kind}.npz")
+            print(f"width {w} {kind}: using {path} (step {step})")
+    return PnnBundle(params, arch, means,
+                     pair_params=pair_params if pair_params else None)
 
 
 def main():
