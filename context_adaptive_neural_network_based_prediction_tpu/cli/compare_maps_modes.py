@@ -23,7 +23,23 @@ def main():
     p.add_argument("--policies", nargs="+", default=["regular"],
                    choices=["regular", "substitution", "switch"])
     p.add_argument("--output-dir", default="results/map_modes")
+    p.add_argument("--hm-bitstream", action="store_true",
+                   help="input is a real HEVC Annex-B bitstream: decode it "
+                        "with the HM-conformant decoder and map ITS modes")
     args = p.parse_args()
+
+    if args.hm_bitstream:
+        from ..codec import hm_decoder
+        from ..evaluation.maps import mode_map_to_rgb, write_ppm
+
+        with open(args.input, "rb") as f:
+            res = hm_decoder.decode_hm_stream(f.read())
+        name = os.path.splitext(os.path.basename(args.input))[0]
+        out = os.path.join(args.output_dir, f"map_modes_{name}_hm.ppm")
+        os.makedirs(args.output_dir, exist_ok=True)
+        write_ppm(out, mode_map_to_rgb(res.mode_map))
+        print(f"HM stream (QP {res.qp}, hash_ok={res.hash_ok}) -> {out}")
+        return
 
     luma = load_luminance(args.input, args.height, args.width)
     name = os.path.splitext(os.path.basename(args.input))[0]

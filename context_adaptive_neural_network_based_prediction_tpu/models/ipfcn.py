@@ -104,14 +104,144 @@ def load_npz_params(path: str) -> dict:
         return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+# ------------------------------------------------ caffemodel import ----
+#
+# The shipped IPFCN-S weights (`ipfcns/models/ipfcns/*.caffemodel`,
+# reference `ipfcns/ipfcns.py:388-430`) are a Caffe NetParameter protobuf.
+# pycaffe is unavailable here, so the file is read with a minimal
+# schema-less protobuf wire parser: NetParameter.layer = field 100,
+# LayerParameter.{name=1, type=2, blobs=7}, BlobProto.{data=5 (packed
+# floats), shape=7 (BlobShape.dim=1)}.
+
+
+def _walk_protobuf(data: bytes):
+    """Yields (field_number, wire_type, value) over one message's fields."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        key = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wt, v
+        elif wt == 1:
+            yield field, wt, data[pos:pos + 8]
+            pos += 8
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wt, data[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            yield field, wt, data[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _parse_blob(data: bytes) -> np.ndarray:
+    dims = []
+    floats = []
+    legacy = {}
+    for field, wt, v in _walk_protobuf(data):
+        if field == 5 and wt == 2:      # packed float data
+            floats.append(np.frombuffer(v, dtype="<f4"))
+        elif field == 5 and wt == 5:    # unpacked float
+            floats.append(np.frombuffer(v, dtype="<f4"))
+        elif field == 7 and wt == 2:    # BlobShape
+            for f2, w2, v2 in _walk_protobuf(v):
+                if f2 == 1 and w2 == 0:
+                    dims.append(int(v2))
+                elif f2 == 1 and w2 == 2:  # packed varints
+                    pos2 = 0
+                    while pos2 < len(v2):
+                        d = 0
+                        shift = 0
+                        while True:
+                            b = v2[pos2]
+                            pos2 += 1
+                            d |= (b & 0x7F) << shift
+                            shift += 7
+                            if not b & 0x80:
+                                break
+                        dims.append(d)
+        elif field in (1, 2, 3, 4) and wt == 0:  # legacy num/chan/h/w
+            legacy[field] = int(v)
+    arr = np.concatenate(floats) if floats else np.zeros(0, np.float32)
+    if not dims and legacy:
+        dims = [legacy.get(i, 1) for i in (1, 2, 3, 4)]
+    if dims:
+        arr = arr.reshape([d for d in dims if d > 0] or (-1,))
+    return arr
+
+
+def parse_caffemodel(path_to_caffemodel: str) -> dict:
+    """{layer_name: (layer_type, [blob arrays])} from a caffemodel file."""
+    with open(path_to_caffemodel, "rb") as f:
+        data = f.read()
+    layers = {}
+    for field, wt, v in _walk_protobuf(data):
+        if field == 100 and wt == 2:    # LayerParameter
+            name = ltype = None
+            blobs = []
+            for f2, w2, v2 in _walk_protobuf(v):
+                if f2 == 1 and w2 == 2:
+                    name = v2.decode("utf-8", "replace")
+                elif f2 == 2 and w2 == 2:
+                    ltype = v2.decode("utf-8", "replace")
+                elif f2 == 7 and w2 == 2:
+                    blobs.append(_parse_blob(v2))
+            if name is not None:
+                layers[name] = (ltype, blobs)
+    return layers
+
+
+def import_caffemodel(path_to_caffemodel: str) -> dict:
+    """Shipped IPFCN-S caffemodel -> this module's param dict.
+
+    Caffe InnerProduct weights are (out, in); transposed to (in, out)."""
+    layers = parse_caffemodel(path_to_caffemodel)
+    params = {}
+    for i in range(1, 5):
+        ltype, blobs = layers[f"fc{i}"]
+        if ltype not in (None, "InnerProduct"):
+            raise ValueError(f"fc{i} is {ltype}, expected InnerProduct")
+        w, b = blobs[0], blobs[1]
+        if w.ndim > 2:
+            w = w.reshape(w.shape[-2], w.shape[-1])
+        params[f"fc{i}_weights"] = jnp.asarray(w.T)
+        params[f"fc{i}_biases"] = jnp.asarray(b.reshape(-1))
+        if i < 4:
+            _, slopes = None, layers[f"relu{i}"][1]
+            params[f"prelu{i}_slopes"] = jnp.asarray(slopes[0].reshape(-1))
+    return params
+
+
 def convert_caffemodel_to_npz(path_to_caffemodel: str, path_to_npz: str,
-                              width_target: int) -> None:
-    """Converts the shipped caffemodel via pycaffe if available (optional)."""
-    try:
-        import caffe  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "pycaffe is unavailable in this environment; IPFCN-S runs with "
-            "random or externally converted weights") from e
-    # pycaffe path intentionally unexercised here (no caffe in the image).
-    raise NotImplementedError
+                              width_target: int = 4) -> None:
+    """Converts the shipped caffemodel to the npz layout (no pycaffe)."""
+    params = import_caffemodel(path_to_caffemodel)
+    np.savez(path_to_npz, **{k: np.asarray(v) for k, v in params.items()})

@@ -282,3 +282,54 @@ class TestZoo:
         out_full = zoo.predict_by_batch(params, x, 4, True, batch_size=1024)
         out_chunk = zoo.predict_by_batch(params, x, 4, True, batch_size=3)
         np.testing.assert_allclose(out_full, out_chunk, rtol=1e-6, atol=1e-6)
+
+
+def test_ipfcn_caffemodel_import():
+    """The shipped IPFCN-S caffemodel parses without pycaffe and its weights
+    predict far better than chance (reference ipfcns/ipfcns.py:388-430)."""
+    import os
+
+    import jax
+
+    from context_adaptive_neural_network_based_prediction_tpu.models import (
+        ipfcn)
+
+    path = ("/root/reference/ipfcns/models/ipfcns/"
+            "IntraFCN205_Size4_iter_1638700.caffemodel")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference caffemodel not mounted")
+    params = ipfcn.import_caffemodel(path)
+    assert params["fc1_weights"].shape == (192, 512)
+    assert params["fc4_weights"].shape == (512, 16)
+    assert params["prelu1_slopes"].shape == (512,)
+    # functional: beats random init on a real photo by a wide margin
+    import numpy as np
+
+    from context_adaptive_neural_network_based_prediction_tpu.utils import (
+        color, images)
+
+    rgb = images.read_image_mode(
+        "/root/reference/hevc/pseudo_data/rgb_library.jpg", "RGB")
+    luma = color.rgb_to_ycbcr(rgb)[:, :, 0:1]
+    rng = np.random.default_rng(0)
+    ga, gl, tgt = [], [], []
+    for _ in range(50):
+        r = int(rng.integers(0, luma.shape[0] - 16))
+        c = int(rng.integers(0, luma.shape[1] - 16))
+        a, l = ipfcn.extract_pair_groups_lines_from_channel(luma, 4, r, c)
+        ga.append(a)
+        gl.append(l)
+        tgt.append(luma[r + 8:r + 12, c + 8:c + 12, 0])
+    ga, gl = np.stack(ga), np.stack(gl)
+    tgt = np.stack(tgt).astype(np.float64)
+
+    def mean_psnr(p):
+        pred = ipfcn.predict_uint8(p, ga, gl, 4).astype(np.float64)
+        mse = ((pred - tgt) ** 2).mean(axis=(1, 2))
+        return float((10 * np.log10(255 * 255 / (mse + 1e-6))).mean())
+
+    psnr_real = mean_psnr(params)
+    psnr_rand = mean_psnr(ipfcn.init_params(jax.random.PRNGKey(0), 4))
+    assert psnr_real > psnr_rand + 4.0
