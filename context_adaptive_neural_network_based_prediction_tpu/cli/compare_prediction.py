@@ -28,6 +28,8 @@ def main():
     p.add_argument("--positions-per-image", type=int, default=40)
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--output", default="results/checking_predictions/table.csv")
+    p.add_argument("--ipfcn-caffemodel",
+                   help="optional IPFCN-S .caffemodel (loaded without pycaffe)")
     args = p.parse_args()
 
     paths = sorted(glob.glob(args.images))
@@ -48,9 +50,16 @@ def main():
         params = importer.import_tf_checkpoint(args.checkpoint)
     is_fc = "fully_connected" in params
 
+    ipfcn_params = None
+    if args.ipfcn_caffemodel:
+        from ..models import ipfcn
+
+        ipfcn_params = ipfcn.import_caffemodel(args.ipfcn_caffemodel)
+
     rows = pc.compare_on_channels(
         channels, args.width_target, params, is_fc, args.mean,
-        nb_positions_per_image=args.positions_per_image)
+        nb_positions_per_image=args.positions_per_image,
+        ipfcn_params=ipfcn_params)
     pc.write_csv(rows, args.output)
     for r in rows:
         print(f"masks ({r.width_mask_above},{r.height_mask_left}): "
