@@ -66,9 +66,25 @@ class HmDecodeResult:
     reconstruction_cr: Optional[np.ndarray] = None
 
 
+PNNS_MODE = 35
+
+
 class HmFrameDecoder:
-    def __init__(self, annexb: bytes):
+    """Decodes HM-framed streams; `policy` extends the syntax for the
+    reference's NN codecs: 'substitution' replaces mode 18's *prediction*
+    with the normative PNN (stock syntax, `hm_16_15_substitution`), 'switch'
+    parses the leading PNNS bin per PU with its dedicated context
+    (`hm_16_15_switch/TDecSbac.cpp:645-760`)."""
+
+    def __init__(self, annexb: bytes, *, policy: str = "regular", pnn=None):
+        if policy not in ("regular", "substitution", "switch"):
+            raise ValueError(f"unknown policy {policy!r}")
+        if policy != "regular" and pnn is None:
+            raise ValueError("NN policies need a PnnPredictor")
+        self.policy = policy
         st = hm_bitstream.parse_stream(annexb)
+        if policy != "regular" and st.sps.chroma_format_idc != 0:
+            raise ValueError("NN policies are implemented for 4:0:0 streams")
         if st.sps.chroma_format_idc not in (0, 1):
             raise ValueError("only 4:0:0 / 4:2:0 streams supported")
         if st.sps.bit_depth_luma != 8:
@@ -86,6 +102,7 @@ class HmFrameDecoder:
         self.min_tb = 1 << st.sps.log2_min_tb
         self.chroma = st.sps.chroma_format_idc == 1
 
+        self.pnn = pnn.bind_qp(self.qp) if pnn is not None else None
         self.dec = cabac.CabacDecoder(self.sh.slice_data)
         self.ctx = make_context_states(self.qp)
 
@@ -135,6 +152,10 @@ class HmFrameDecoder:
             above = syntax.DC_IDX
         else:
             above = self._neighbor_mode(x, y - 1)
+        if self.policy == "switch":
+            from .encoder import FrameEncoder
+
+            return FrameEncoder._mpms_switch(left, above)
         return syntax.mpm_candidates(left, above)
 
     def _decode_cu(self, x: int, y: int, log2_size: int, depth: int):
@@ -166,14 +187,23 @@ class HmFrameDecoder:
         if part_nxn:
             half = size // 2
             pu_xy = ((x, y), (x + half, y), (x, y + half), (x + half, y + half))
-            # HM parses the four prev_intra_luma_pred_flags first, then the
-            # four mpm_idx / rem_intra fields (TDecSbac::parseIntraDirLumaAng).
-            prev_flags = [self.dec.decode_bin(self.ctx, OFFSETS.prev_intra)
-                          for _ in range(4)]
+            # HM parses the four leading flags first, then the four
+            # mpm_idx / rem_intra fields (TDecSbac::parseIntraDirLumaAng);
+            # the switch codec prepends a PNNS bin per PU in the first loop.
+            prev_flags = []
+            for _ in range(4):
+                if self.policy == "switch" and self.dec.decode_bin(
+                        self.ctx, OFFSETS.pnns_flag):
+                    prev_flags.append(None)  # PNNS: no prev flag
+                else:
+                    prev_flags.append(
+                        self.dec.decode_bin(self.ctx, OFFSETS.prev_intra))
             modes = []
             raw = []
             for i in range(4):
-                if prev_flags[i]:
+                if prev_flags[i] is None:
+                    raw.append(("pnns", 0))
+                elif prev_flags[i]:
                     if self.dec.decode_bin_ep() == 0:
                         raw.append(("mpm", 0))
                     else:
@@ -183,7 +213,9 @@ class HmFrameDecoder:
             for i, (px, py) in enumerate(pu_xy):
                 mpms = self._mpms(px, py)
                 kind, v = raw[i]
-                if kind == "mpm":
+                if kind == "pnns":
+                    mode = PNNS_MODE
+                elif kind == "mpm":
                     mode = mpms[v]
                 else:
                     rem = v
@@ -200,7 +232,10 @@ class HmFrameDecoder:
                                  chroma_mode, 1, 1,
                                  intra_split=True)
         else:
-            if self.dec.decode_bin(self.ctx, OFFSETS.prev_intra):
+            if self.policy == "switch" and self.dec.decode_bin(
+                    self.ctx, OFFSETS.pnns_flag):
+                mode = PNNS_MODE
+            elif self.dec.decode_bin(self.ctx, OFFSETS.prev_intra):
                 if self.dec.decode_bin_ep() == 0:
                     idx = 0
                 else:
@@ -297,18 +332,24 @@ class HmFrameDecoder:
 
     def _reconstruct_tu(self, x: int, y: int, n: int, mode: int, cbf: int):
         flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n, self.h, self.w)
-        ref_top, ref_left = rs.fill_reference_samples(self.recon, x, y, n, flags)
-        if rs.use_filtered_for_mode(mode, n):
-            ref_top, ref_left = rs.filter_reference_samples(
-                ref_top, ref_left, n,
-                strong_intra_smoothing=self.sps.strong_intra_smoothing)
-        pred = intra.predict_one_mode_np(ref_top, ref_left, mode)
+        if ((self.policy == "substitution" and mode == 18
+             and self.pnn.supports(n)) or mode == PNNS_MODE):
+            pred = self.pnn.predict(self.recon, x, y, n, flags)
+        else:
+            ref_top, ref_left = rs.fill_reference_samples(self.recon, x, y, n,
+                                                          flags)
+            if rs.use_filtered_for_mode(mode, n):
+                ref_top, ref_left = rs.filter_reference_samples(
+                    ref_top, ref_left, n,
+                    strong_intra_smoothing=self.sps.strong_intra_smoothing)
+            pred = intra.predict_one_mode_np(ref_top, ref_left, mode)
         if cbf:
             tskip = 0
             if self.pps.transform_skip_enabled and n == 4:
                 tskip = self.dec.decode_bin(self.ctx, OFFSETS.transform_skip)
-            q = syntax.decode_coefficients(self.dec, self.ctx, n, mode,
-                                           self.pps.sign_data_hiding)
+            q = syntax.decode_coefficients(
+                self.dec, self.ctx, n, mode if mode != PNNS_MODE else 0,
+                self.pps.sign_data_hiding)
             deq = transform.dequantize_np(q[None], self.qp)[0]
             if tskip:
                 tshift = transform.transform_shift(2)
@@ -471,6 +512,9 @@ class HmFrameDecoder:
                               reconstruction_cr=out_cr)
 
 
-def decode_hm_stream(annexb: bytes) -> HmDecodeResult:
-    """Decodes a real HM-16.15 All-Intra 4:0:0 8-bit bitstream."""
-    return HmFrameDecoder(annexb).decode()
+def decode_hm_stream(annexb: bytes, **kwargs) -> HmDecodeResult:
+    """Decodes a real HM-16.15 All-Intra 8-bit bitstream (4:0:0 or 4:2:0).
+
+    Pass policy=/pnn= for the reference's NN codec syntaxes
+    (hm_16_15_substitution / hm_16_15_switch semantics)."""
+    return HmFrameDecoder(annexb, **kwargs).decode()

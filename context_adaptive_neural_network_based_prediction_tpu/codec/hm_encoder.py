@@ -285,6 +285,10 @@ def serialize_hm_slice(trees: List[CuNode], *, width: int, height: int,
                                OFFSETS.pnns_flag)
                 if pu.mode == PNNS_MODE:
                     mpm_info.append(None)
+                    # Record immediately: later PUs of this CU must see the
+                    # PNNS neighbour exactly as the decoder does.
+                    mode_map[pu.y // 4:(pu.y + pu.n) // 4,
+                             pu.x // 4:(pu.x + pu.n) // 4] = pu.mode
                     continue
             mpms = mpms_at(pu.x, pu.y)
             enc.encode_bin(1 if pu.mode in mpms else 0, ctx,
