@@ -87,13 +87,31 @@ def _filter_segment(get, put, tc, beta, bit_depth=8):
                     put(i, 1, np.clip(m5 + d2, 0, max_val))
 
 
+def _try_native(plane, tu_map, qp, *, chroma, bit_depth):
+    if bit_depth != 8:
+        return None
+    try:
+        from . import native
+
+        if native.available():
+            return native.deblock_native(plane, tu_map, qp, chroma=chroma)
+    except Exception:
+        pass
+    return None
+
+
 def deblock_luma(recon: np.ndarray, tu_map: np.ndarray, qp: int,
-                 bit_depth: int = 8) -> np.ndarray:
+                 bit_depth: int = 8, *, use_native: bool = True) -> np.ndarray:
     """Deblocks a reconstructed luma picture in place semantics (returns copy).
 
     `tu_map` is a per-4x4-unit int array where distinct values mark distinct
     TUs/PUs (edges between differing ids on the 8-grid get BS=2).
     """
+    if use_native:
+        fast = _try_native(recon, tu_map, qp, chroma=False,
+                           bit_depth=bit_depth)
+        if fast is not None:
+            return fast
     h, w = recon.shape
     out = recon.astype(np.int32).copy()
     idx_tc = int(np.clip(qp + DEFAULT_INTRA_TC_OFFSET, 0, 53))
@@ -139,7 +157,7 @@ def deblock_luma(recon: np.ndarray, tu_map: np.ndarray, qp: int,
 
 
 def deblock_chroma(plane: np.ndarray, tu_map_luma: np.ndarray, qp_c: int,
-                   bit_depth: int = 8) -> np.ndarray:
+                   bit_depth: int = 8, *, use_native: bool = True) -> np.ndarray:
     """Deblocks one 4:2:0 chroma plane (HM `xEdgeFilterChroma` +
     `xPelFilterChroma` for the All-Intra case).
 
@@ -149,6 +167,11 @@ def deblock_chroma(plane: np.ndarray, tu_map_luma: np.ndarray, qp_c: int,
     adjusts only p0/q0 with tc from the chroma QP + the intra offset.
     `tu_map_luma` is the luma-resolution 4x4-unit TU id map.
     """
+    if use_native:
+        fast = _try_native(plane, tu_map_luma, qp_c, chroma=True,
+                           bit_depth=bit_depth)
+        if fast is not None:
+            return fast
     hc, wc = plane.shape
     out = plane.astype(np.int32).copy()
     idx_tc = int(np.clip(qp_c + DEFAULT_INTRA_TC_OFFSET, 0, 53))

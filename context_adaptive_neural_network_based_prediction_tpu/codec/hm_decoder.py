@@ -453,7 +453,127 @@ class HmFrameDecoder:
                 self.sao_grid_cb[cy][cx] = pcb
                 self.sao_grid_cr[cy][cx] = pcr
 
-    def decode(self) -> HmDecodeResult:
+    # ------------------------------------------------------ native fast path
+
+    def _decode_native(self) -> HmDecodeResult:
+        """CABAC parse (and, for 'regular', reconstruction) in C++.
+
+        The native module (native/hm_parse.cpp) emits per-TU records; NN
+        policies replay reconstruction here so the normative PNN forward runs
+        in JAX, while all bin decoding stays in C++.
+        """
+        from . import native
+
+        policy_id = {"regular": 0, "substitution": 1, "switch": 2}[self.policy]
+        full_recon = self.policy == "regular"
+        res = native.hm_decode_slice_native(
+            self.sh.slice_data, width=self.w, height=self.h,
+            ctu_size=self.ctu, log2_min_cb=self.sps.log2_min_cb,
+            log2_max_tb=self.sps.log2_max_tb, log2_min_tb=self.sps.log2_min_tb,
+            max_tr_depth_intra=self.sps.max_transform_hierarchy_depth_intra,
+            chroma=self.chroma, qp=self.qp,
+            qp_cb=self.qp_cb if self.chroma else 0,
+            qp_cr=self.qp_cr if self.chroma else 0,
+            transform_skip_enabled=self.pps.transform_skip_enabled,
+            sign_data_hiding=self.pps.sign_data_hiding,
+            sao_luma=self.sh.sao_luma, sao_chroma=self.sh.sao_chroma,
+            strong_intra_smoothing=self.sps.strong_intra_smoothing,
+            policy=policy_id, reconstruct=full_recon)
+
+        self.mode_map = res["mode_map"]
+        self.tu_map = res["tu_map"]
+        if full_recon:
+            self.recon = res["recon_y"]
+            if self.chroma:
+                self.recon_cb = res["recon_cb"]
+                self.recon_cr = res["recon_cr"]
+        else:
+            self._replay_records(res["tu_meta"], res["coeffs"])
+
+        n_ctu_y = (self.h + self.ctu - 1) // self.ctu
+        n_ctu_x = (self.w + self.ctu - 1) // self.ctu
+
+        def sao_grid_from(comp: int):
+            grid = []
+            for cy in range(n_ctu_y):
+                row = []
+                for cx in range(n_ctu_x):
+                    e = res["sao"][cy * n_ctu_x + cx, comp]
+                    row.append(sao_mod.SaoParams(int(e[0]), int(e[1]),
+                                                 tuple(int(v) for v in e[2:6])))
+                grid.append(row)
+            return grid
+
+        if self.sh.sao_luma:
+            self.sao_grid = sao_grid_from(0)
+        if self.chroma and self.sh.sao_chroma:
+            self.sao_grid_cb = sao_grid_from(1)
+            self.sao_grid_cr = sao_grid_from(2)
+        return self._finish()
+
+    def _replay_records(self, tu_meta: np.ndarray, coeffs: np.ndarray):
+        """Reconstructs from native TU records (parse already done in C++)."""
+        for rec in tu_meta:
+            plane, x, y, n, mode, cbf, tskip, off = (int(v) for v in rec)
+            if plane == 0:
+                flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n,
+                                               self.h, self.w)
+                if ((self.policy == "substitution" and mode == 18
+                     and self.pnn.supports(n)) or mode == PNNS_MODE):
+                    pred = self.pnn.predict(self.recon, x, y, n, flags)
+                else:
+                    ref_top, ref_left = rs.fill_reference_samples(
+                        self.recon, x, y, n, flags)
+                    if rs.use_filtered_for_mode(mode, n):
+                        ref_top, ref_left = rs.filter_reference_samples(
+                            ref_top, ref_left, n,
+                            strong_intra_smoothing=self.sps.strong_intra_smoothing)
+                    pred = intra.predict_one_mode_np(ref_top, ref_left, mode)
+                rec_blk = self._apply_residual(pred, coeffs, off, n, cbf,
+                                               tskip, self.qp, use_dst=(n == 4))
+                self.recon[y:y + n, x:x + n] = rec_blk
+                self.unit_coded[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = True
+                self.tu_counter += 1
+            else:
+                plane_arr = self.recon_cb if plane == 1 else self.recon_cr
+                qpc = self.qp_cb if plane == 1 else self.qp_cr
+                flags = rs.neighbor_unit_flags(self.unit_coded, x, y, n,
+                                               self.h // 2, self.w // 2, unit=2)
+                ref_top, ref_left = rs.fill_reference_samples(
+                    plane_arr, x, y, n, flags, unit=2)
+                pred = intra.predict_one_mode_np(ref_top, ref_left, mode,
+                                                 filtered_edges=False)
+                rec_blk = self._apply_residual(pred, coeffs, off, n, cbf,
+                                               tskip, qpc, use_dst=False)
+                plane_arr[y:y + n, x:x + n] = rec_blk
+
+    @staticmethod
+    def _apply_residual(pred, coeffs, off, n, cbf, tskip, qp, *, use_dst):
+        if not cbf:
+            return pred
+        q = coeffs[off:off + n * n].reshape(n, n)
+        deq = transform.dequantize_np(q[None], qp)[0]
+        if tskip:
+            tshift = transform.transform_shift(2)
+            resi = (deq + (1 << (tshift - 1))) >> tshift
+        else:
+            resi = transform.inverse_transform_np(deq[None], use_dst=use_dst)[0]
+        return np.clip(pred + resi, 0, 255)
+
+    # --------------------------------------------------------- python path
+
+    def decode(self, *, use_native: str = "auto") -> HmDecodeResult:
+        if use_native != "never":
+            from . import native
+
+            if native.available():
+                try:
+                    return self._decode_native()
+                except Exception:
+                    if use_native == "always":
+                        raise
+            elif use_native == "always":
+                raise RuntimeError("native decode requested but unavailable")
         n_ctu_y = (self.h + self.ctu - 1) // self.ctu
         n_ctu_x = (self.w + self.ctu - 1) // self.ctu
         sao_any = self.sh.sao_luma or (self.chroma and self.sh.sao_chroma)
@@ -473,7 +593,10 @@ class HmFrameDecoder:
                 if bool(end) != is_last:
                     raise ValueError(
                         f"end_of_slice_segment_flag desync at CTU ({cy},{cx})")
+        return self._finish()
 
+    def _finish(self) -> HmDecodeResult:
+        """Loop filters + decoded-picture-hash check (shared by both paths)."""
         out = self.recon.astype(np.uint8)
         out_cb = self.recon_cb.astype(np.uint8) if self.chroma else None
         out_cr = self.recon_cr.astype(np.uint8) if self.chroma else None
@@ -512,9 +635,12 @@ class HmFrameDecoder:
                               reconstruction_cr=out_cr)
 
 
-def decode_hm_stream(annexb: bytes, **kwargs) -> HmDecodeResult:
+def decode_hm_stream(annexb: bytes, *, use_native: str = "auto",
+                     **kwargs) -> HmDecodeResult:
     """Decodes a real HM-16.15 All-Intra 8-bit bitstream (4:0:0 or 4:2:0).
 
     Pass policy=/pnn= for the reference's NN codec syntaxes
-    (hm_16_15_substitution / hm_16_15_switch semantics)."""
-    return HmFrameDecoder(annexb, **kwargs).decode()
+    (hm_16_15_substitution / hm_16_15_switch semantics).  `use_native`
+    selects the C++ parse/reconstruct hot path ("auto" / "always" / "never");
+    output is bit-identical either way."""
+    return HmFrameDecoder(annexb, **kwargs).decode(use_native=use_native)

@@ -19,17 +19,19 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "cabac_pack.cpp")
 _SRC_RDOQ = os.path.join(_REPO_ROOT, "native", "rdoq.cpp")
+_SRC_PARSE = os.path.join(_REPO_ROOT, "native", "hm_parse.cpp")
 _LIB = os.path.join(_REPO_ROOT, "native", "libcabac_pack.so")
 _lock = threading.Lock()
 _lib = None
 
 
 def _build_library() -> str:
-    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_RDOQ))
+    sources = [_SRC, _SRC_RDOQ, _SRC_PARSE]
+    newest_src = max(os.path.getmtime(s) for s in sources)
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= newest_src:
         return _LIB
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC_RDOQ],
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB] + sources,
         check=True, capture_output=True)
     return _LIB
 
@@ -51,6 +53,21 @@ def load_library():
                 ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.hm_decode_slice.restype = ctypes.c_int64
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.hm_decode_slice.argtypes = (
+                [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+                + [ctypes.c_int] * 18
+                + [i32p] * 6 + [ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+                                ctypes.POINTER(ctypes.c_int64)])
+            lib.deblock_luma_native.restype = ctypes.c_int
+            lib.deblock_luma_native.argtypes = [
+                i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+                ctypes.c_int]
+            lib.deblock_chroma_native.restype = ctypes.c_int
+            lib.deblock_chroma_native.argtypes = [
+                i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+                ctypes.c_int]
             _lib = lib
     return _lib
 
@@ -92,6 +109,91 @@ def serialize_grid(modes: np.ndarray, qcoeffs: np.ndarray, *, width: int,
                          POLICIES.index("regular"), qp, 0,
                          1 if deblocking else 0, 0, 0, 0, n, width, height)
     return header + pack_grid_payload(modes, qcoeffs, n, qp)
+
+
+def hm_decode_slice_native(slice_data: bytes, *, width: int, height: int,
+                           ctu_size: int, log2_min_cb: int, log2_max_tb: int,
+                           log2_min_tb: int, max_tr_depth_intra: int,
+                           chroma: bool, qp: int, qp_cb: int = 0,
+                           qp_cr: int = 0, transform_skip_enabled: bool = True,
+                           sign_data_hiding: bool = True,
+                           sao_luma: bool = False, sao_chroma: bool = False,
+                           strong_intra_smoothing: bool = True,
+                           policy: int = 0, reconstruct: bool = True) -> dict:
+    """Parses (and for policy 0 optionally reconstructs) one I-slice natively.
+
+    Returns a dict with: recon_y/cb/cr (int32 planes or None), mode_map,
+    tu_map ((H+3)//4 x (W+3)//4 int32), tu_meta ((n_tu, 8) int32 records
+    [plane, x, y, n, mode, cbf, tskip, coef_off]), coeffs (flat int32), and
+    sao ((n_ctu, 3, 6) int32 [mode, aux, o0..o3] per component).
+    """
+    lib = load_library()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    data = np.frombuffer(slice_data, dtype=np.uint8)
+    uh, uw = (height + 3) // 4, (width + 3) // 4
+    n_ctu = ((height + ctu_size - 1) // ctu_size) * \
+        ((width + ctu_size - 1) // ctu_size)
+
+    recon_y = np.zeros((height, width), dtype=np.int32)
+    cw, chh = width // 2, height // 2
+    recon_cb = np.zeros((chh, cw), dtype=np.int32) if chroma else \
+        np.zeros((1, 1), dtype=np.int32)
+    recon_cr = np.zeros_like(recon_cb)
+    mode_map = np.empty((uh, uw), dtype=np.int32)
+    tu_map = np.empty((uh, uw), dtype=np.int32)
+    tu_meta_cap = (width * height) // 8 + 4096
+    tu_meta = np.empty((tu_meta_cap, 8), dtype=np.int32)
+    coeff_cap = width * height * 2 + 4096
+    coeff_buf = np.empty(coeff_cap, dtype=np.int32)
+    sao_out = np.zeros((n_ctu, 3, 6), dtype=np.int32)
+    counts = np.zeros(2, dtype=np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(i32p)
+
+    rc = lib.hm_decode_slice(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        width, height, ctu_size, log2_min_cb, log2_max_tb, log2_min_tb,
+        max_tr_depth_intra, 1 if chroma else 0, qp, qp_cb, qp_cr,
+        1 if transform_skip_enabled else 0, 1 if sign_data_hiding else 0,
+        1 if sao_luma else 0, 1 if sao_chroma else 0,
+        1 if strong_intra_smoothing else 0, int(policy),
+        1 if reconstruct else 0,
+        p(recon_y), p(recon_cb), p(recon_cr), p(mode_map), p(tu_map),
+        p(tu_meta), tu_meta_cap, p(coeff_buf), coeff_cap, p(sao_out),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise RuntimeError(f"hm_decode_slice failed with code {rc}")
+    n_tu, n_coeff = int(counts[0]), int(counts[1])
+    return {
+        "recon_y": recon_y if reconstruct else None,
+        "recon_cb": recon_cb if (reconstruct and chroma) else None,
+        "recon_cr": recon_cr if (reconstruct and chroma) else None,
+        "mode_map": mode_map,
+        "tu_map": tu_map,
+        "tu_meta": tu_meta[:n_tu].copy(),
+        "coeffs": coeff_buf[:n_coeff].copy(),
+        "sao": sao_out,
+    }
+
+
+def deblock_native(plane: np.ndarray, tu_map: np.ndarray, qp: int,
+                   *, chroma: bool) -> np.ndarray:
+    """Native HM deblocking (same output as codec.deblock.deblock_{luma,chroma})."""
+    lib = load_library()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = np.ascontiguousarray(plane, dtype=np.int32)
+    if out is plane:
+        out = out.copy()
+    tu = np.ascontiguousarray(tu_map, dtype=np.int32)
+    h, w = out.shape
+    fn = lib.deblock_chroma_native if chroma else lib.deblock_luma_native
+    rc = fn(out.ctypes.data_as(i32p), h, w, tu.ctypes.data_as(i32p),
+            tu.shape[1], int(qp))
+    if rc != 0:
+        raise RuntimeError(f"deblock_native failed with code {rc}")
+    return out.astype(plane.dtype)
 
 
 def rdoq_tu_native(coeffs: np.ndarray, qp: int, mode: int, lam: float,
