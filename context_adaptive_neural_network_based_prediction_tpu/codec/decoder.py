@@ -129,7 +129,7 @@ class FrameDecoder:
         self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
         self.tu_counter += 1
 
-    def _decode_tu_tree(self, x, y, size, depth, mode):
+    def _decode_tu_tree(self, x, y, size, depth, mode, nxn=False):
         forced = size > MAX_TU
         half = size // 2
         quadrants = ((x, y), (x + half, y), (x, y + half), (x + half, y + half))
@@ -145,16 +145,17 @@ class FrameDecoder:
             for (cx, cy) in quadrants:
                 self._decode_tu_tree(cx, cy, half, depth + 1, mode)
             return
-        self._decode_tu(x, y, size, mode, tu_depth0=(depth == 0))
+        # NxN PU TUs sit at trafo depth 1 in the stream (cbf_luma context 0).
+        self._decode_tu(x, y, size, mode, tu_depth0=(depth == 0 and not nxn))
 
-    def _decode_pu(self, x, y, n):
+    def _decode_pu(self, x, y, n, nxn=False):
         mpms = self._mpms(x, y)
         if self.policy == "switch" and self.dec.decode_bin(self.ctx, OFFSETS.pnns_flag):
             mode = PNNS_MODE
         else:
             mode = syntax.decode_intra_mode(self.dec, self.ctx, mpms)
         self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
-        self._decode_tu_tree(x, y, n, 0, mode)
+        self._decode_tu_tree(x, y, n, 0, mode, nxn)
 
     def _decode_cu(self, x, y, size, depth):
         if x >= self.w or y >= self.h:
@@ -179,7 +180,7 @@ class FrameDecoder:
                 self._decode_pu(x, y, size)
             else:
                 for (px, py) in ((x, y), (x + 4, y), (x, y + 4), (x + 4, y + 4)):
-                    self._decode_pu(px, py, 4)
+                    self._decode_pu(px, py, 4, nxn=True)
         else:
             self._decode_pu(x, y, size)
         self.depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth

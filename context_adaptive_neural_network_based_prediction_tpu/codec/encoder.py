@@ -46,7 +46,7 @@ from .contexts import OFFSETS, make_context_states
 from .nn_intra import PnnPredictor
 
 MAGIC = b"CPNN"
-VERSION = 5
+VERSION = 6
 POLICIES = ("regular", "substitution", "switch")
 PNNS_MODE = 35
 MIN_CU = 8
@@ -103,7 +103,8 @@ class FrameEncoder:
                  rd_candidates: Optional[dict] = None,
                  use_rdoq: bool = True, deblocking: bool = True,
                  max_tu_depth: int = 2, sao: bool = True,
-                 transform_skip: bool = True):
+                 transform_skip: bool = True, hm_speedup: bool = False,
+                 tskip_fast: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -135,6 +136,14 @@ class FrameEncoder:
         self.deblocking = deblocking
         self.sao = sao
         self.transform_skip = transform_skip
+        # HHI_RQT_INTRA_SPEEDUP analog: mode decision at no-TU-split, full
+        # TU search for the winner only.  Measured on rgb_library 384^2
+        # (scripts/ablate_r2.py): the joint (mode, TU-tree) search beats the
+        # two-stage HM structure by ~0.9-1.8% lambda-RD cost here, so the
+        # speedup is OFF by default and kept as a fast preset.
+        # tskip_fast = TransformSkipFast (neutral RD, fewer trials).
+        self.hm_speedup = hm_speedup
+        self.tskip_fast = tskip_fast
         self.max_tu_depth = max_tu_depth
         uh, uw = self.h // 4, self.w // 4
         self.recon = np.zeros((self.h, self.w), dtype=np.int32)
@@ -267,11 +276,14 @@ class FrameEncoder:
     # ---------------------------------------------------------- PU search --
 
     def _code_tu(self, x, y, n, mode, counter_ctx, counter, *, tu_depth0: bool,
-                 pred: Optional[np.ndarray] = None):
+                 pred: Optional[np.ndarray] = None, allow_tskip: bool = True):
         """Transform-quant-recon one TU with `mode` prediction at current state.
 
         Returns (sse, tu_record); commits recon/unit_coded.  Rate is added to
-        `counter` (cbf + coefficients).
+        `counter` (cbf + coefficients).  `allow_tskip` gates the ts=1 *trial*
+        (TransformSkipFast restricts it to NxN partitions,
+        `TEncSearch.cpp:1528-1531`); the flag bin itself is always coded when
+        the PPS enables transform skip.
         """
         if pred is None:
             pred = self._predict_single(x, y, n, mode)
@@ -293,7 +305,7 @@ class FrameEncoder:
         coeff = transform.forward_transform_np(resi[None], use_dst=use_dst)[0]
         q = quantize_path(coeff)
         tskip = 0
-        if self.transform_skip and n == 4:
+        if self.transform_skip and n == 4 and (allow_tskip or not self.tskip_fast):
             # HM evaluates transform skip for 4x4 TUs: coeff = resi << tshift.
             tshift = transform.transform_shift(2)
             coeff_ts = (resi.astype(np.int32) << tshift)
@@ -355,11 +367,18 @@ class FrameEncoder:
         sse = int(((orig - rec) ** 2).sum())
         return sse, TuRecord(x, y, n, cbf, q if cbf else None, tskip)
 
-    def _code_tu_tree(self, x, y, size, depth, mode, preds=None):
+    def _code_tu_tree(self, x, y, size, depth, mode, preds=None, *,
+                      nxn: bool = False, no_split: bool = False):
         """Recursive TU quadtree RD search (xRecurIntraCodingLumaQT analog).
 
         Returns (sse, frac_bits, [TuRecord leaves in coding order]); commits
         the winning reconstruction/contexts.
+
+        `nxn`: the PU is one 4x4 quadrant of an NxN CU — its TU sits at
+        trafo depth 1 in the stream, so cbf_luma uses context 0 and transform
+        skip may be trialled (TransformSkipFast).  `no_split`: evaluate the
+        whole-TU option only (HM HHI_RQT_INTRA_SPEEDUP mode loop,
+        `TEncSearch.cpp:1488-1506,2474`).
         """
         forced = size > MAX_TU
         half = size // 2
@@ -367,7 +386,8 @@ class FrameEncoder:
         if forced:
             sse, bits, tus = 0, 0.0, []
             for (cx, cy) in quadrants:
-                s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode)
+                s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode,
+                                             no_split=no_split)
                 sse += s
                 bits += b
                 tus += t
@@ -375,21 +395,26 @@ class FrameEncoder:
 
         flag_present = size > 4 and depth < self.max_tu_depth
         flag_ctx = OFFSETS.trans_subdiv + (5 - (size.bit_length() - 1))
+        tu_depth0 = depth == 0 and not nxn
         pred = None
         if preds is not None and depth == 0:
             pred = preds[-1] if mode == PNNS_MODE else preds[mode]
         if not flag_present:
             counter = rdo.BitCounter()
             s, turec = self._code_tu(x, y, size, mode, self.est_ctx, counter,
-                                     tu_depth0=(depth == 0), pred=pred)
+                                     tu_depth0=tu_depth0, pred=pred,
+                                     allow_tskip=nxn)
             return s, counter.frac_bits, [turec]
 
         pre = self._save(x, y, size)
         cw = rdo.BitCounter()
         cw.encode_bin(0, self.est_ctx, flag_ctx)
         s_w, turec = self._code_tu(x, y, size, mode, self.est_ctx, cw,
-                                   tu_depth0=(depth == 0), pred=pred)
+                                   tu_depth0=tu_depth0, pred=pred,
+                                   allow_tskip=nxn)
         bits_w = cw.frac_bits
+        if no_split:
+            return s_w, bits_w, [turec]
         cost_w = s_w + self.lam * bits_w
         state_w = self._save(x, y, size)
         self._restore(x, y, size, pre)
@@ -408,21 +433,26 @@ class FrameEncoder:
             return s_w, bits_w, [turec]
         return sse_s, bits_s, tus_s
 
-    def _try_pu(self, x, y, n, mode, mpms, preds=None) -> tuple:
+    def _try_pu(self, x, y, n, mode, mpms, preds=None, *, nxn: bool = False,
+                no_split: bool = False) -> tuple:
         """Evaluate + commit one PU with a given mode.  Returns (cost, rec)."""
         counter = rdo.BitCounter()
         self._encode_mode_bits(counter, self.est_ctx, mode, mpms)
         pu = PuRecord(x, y, n, mode)
-        sse, tu_bits, tus = self._code_tu_tree(x, y, n, 0, mode, preds)
+        sse, tu_bits, tus = self._code_tu_tree(x, y, n, 0, mode, preds,
+                                               nxn=nxn, no_split=no_split)
         pu.tus = tus
         self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
         cost = sse + self.lam * (counter.frac_bits + tu_bits)
         return cost, pu
 
-    def _search_pu(self, x, y, n):
+    def _search_pu(self, x, y, n, *, nxn: bool = False):
         """Candidate selection + RD over candidates; commits the winner.
 
-        Returns (cost, PuRecord).
+        HM's HHI_RQT_INTRA_SPEEDUP structure (`TEncSearch.cpp:2474,2574`):
+        the mode decision evaluates every candidate with the TU quadtree
+        frozen at no-split, then the full TU-split search runs once, for the
+        winning mode only.  Returns (cost, PuRecord).
         """
         mpms = self._mpms(x, y)
         preds, flags = self._predict_modes(x, y, n)
@@ -452,10 +482,18 @@ class FrameEncoder:
         pre = self._save(x, y, n)
         for m in candidates:
             mode = PNNS_MODE if (self.policy == "switch" and m == n_modes - 1) else int(m)
-            cost, pu = self._try_pu(x, y, n, mode, mpms, preds=preds)
+            cost, pu = self._try_pu(x, y, n, mode, mpms, preds=preds,
+                                    nxn=nxn, no_split=self.hm_speedup)
             if best is None or cost < best[0]:
                 best = (cost, pu, self._save(x, y, n))
             self._restore(x, y, n, pre)
+        # TU-split refinement for the winner (the whole-TU option is part of
+        # the full search, so its result can only match or beat the no-split
+        # cost); 4x4 PUs have no split to search.
+        if self.hm_speedup and n > 4:
+            cost, pu = self._try_pu(x, y, n, best[1].mode, mpms, preds=preds,
+                                    nxn=nxn)
+            return cost, pu
         # Commit winner.
         self._restore(x, y, n, best[2])
         return best[0], best[1]
@@ -534,7 +572,7 @@ class FrameEncoder:
         cost_nxn = self.lam * counter.frac_bits
         pus = []
         for (px, py) in ((x, y), (x + 4, y), (x, y + 4), (x + 4, y + 4)):
-            c, pu = self._search_pu(px, py, 4)
+            c, pu = self._search_pu(px, py, 4, nxn=True)
             cost_nxn += c
             pus.append(pu)
 
@@ -694,7 +732,9 @@ def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                         enc, ctx, leaf.coeffs,
                         pu.mode if pu.mode != PNNS_MODE else 0, sign_hiding)
 
-            ser_tus(pu.x, pu.y, pu.n, 0)
+            # NxN PUs are quadrants of the CU-level transform tree: their TUs
+            # sit at trafo depth 1 (cbf_luma context 0), like the HM layout.
+            ser_tus(pu.x, pu.y, pu.n, 1 if node.part_nxn else 0)
         depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
         coded[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = True
 

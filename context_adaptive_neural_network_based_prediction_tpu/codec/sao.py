@@ -118,15 +118,51 @@ def _best_offset(count: int, total: int, lam: float, positive: bool,
     return best_o, best_cost
 
 
+def _params_dist_delta(p: SaoParams, diff: np.ndarray, r_reg: np.ndarray,
+                       cat_planes: dict, y0, y1, x0, x1) -> float:
+    """Delta-SSE of applying `p` to the region (count*o^2 - 2*o*sum per cat)."""
+    if p.mode == MODE_OFF:
+        return 0.0
+    d = 0.0
+    if p.mode == MODE_EO:
+        cat = cat_planes[p.type_aux][y0:y1, x0:x1]
+        for c in range(1, 5):
+            o = p.offsets[c - 1]
+            if o == 0:
+                continue
+            mask = cat == c
+            count = int(mask.sum())
+            total = int(diff[mask].sum()) if count else 0
+            d += count * o * o - 2 * o * total
+    else:
+        band = (r_reg >> 3).astype(np.int32)
+        counts = np.bincount(band.reshape(-1), minlength=32)
+        sums = np.bincount(band.reshape(-1), weights=diff.reshape(-1),
+                           minlength=32)
+        for i in range(4):
+            o = p.offsets[i]
+            if o == 0:
+                continue
+            b = (p.type_aux + i) % 32
+            d += int(counts[b]) * o * o - 2 * o * float(sums[b])
+    return d
+
+
 def estimate_ctu(orig: np.ndarray, deblocked: np.ndarray, cat_planes: dict,
-                 y0: int, y1: int, x0: int, x1: int, lam: float) -> SaoParams:
-    """RD-chooses OFF/BO/EO params for one CTU region."""
+                 y0: int, y1: int, x0: int, x1: int, lam: float) -> tuple:
+    """RD-chooses new OFF/BO/EO params for one CTU region.
+
+    Returns (params, cost) where cost = delta-SSE + lam * payload bits
+    (type + all four offset codewords incl. zero offsets + aux), WITHOUT the
+    merge-flag bins (added by the caller, which also evaluates merge
+    candidates - HM TEncSampleAdaptiveOffset::decideBlkParams).
+    """
     o_reg = orig[y0:y1, x0:x1].astype(np.int64)
     r_reg = deblocked[y0:y1, x0:x1].astype(np.int64)
     diff = o_reg - r_reg
 
     best = SaoParams()
-    best_cost = lam * 1  # OFF rate ~ one type bin
+    best_cost = lam * 1  # OFF: sao_type_idx first bin only
 
     # --- EO classes ---
     for eo_class in range(4):
@@ -139,7 +175,9 @@ def estimate_ctu(orig: np.ndarray, deblocked: np.ndarray, cat_planes: dict,
             total = int(diff[mask].sum()) if count else 0
             o, dcost = _best_offset(count, total, lam, positive=(c <= 2))
             offsets.append(o)
-            cost += dcost
+            # _best_offset prices nonzero offsets; a zero offset still codes
+            # one truncated-rice bin.
+            cost += dcost if o else lam * _tr_bits(0)
         cost += lam * (2 + 2)  # type bins + eo_class bits
         if cost < best_cost and any(offsets):
             best = SaoParams(MODE_EO, eo_class, tuple(offsets))
@@ -158,19 +196,27 @@ def estimate_ctu(orig: np.ndarray, deblocked: np.ndarray, cat_planes: dict,
                                             positive=False, extra_sign_bit=True)
             if dcost_neg < dcost:
                 o, dcost = o_neg, dcost_neg
-        band_best.append((o, dcost))
+        band_best.append((o, dcost if o else lam * _tr_bits(0)))
     for pos in range(29):
         offsets = tuple(band_best[pos + i][0] for i in range(4))
         cost = sum(band_best[pos + i][1] for i in range(4)) + lam * (2 + 5)
         if cost < best_cost and any(offsets):
             best = SaoParams(MODE_BO, pos, offsets)
             best_cost = cost
-    return best
+    return best, best_cost
 
 
 def estimate_frame(orig: np.ndarray, deblocked: np.ndarray, ctu_size: int,
-                   lam: float):
-    """Per-CTU SAO parameter grid for a frame."""
+                   lam: float, *, merge: bool = True):
+    """Per-CTU SAO parameter grid for a frame.
+
+    Raster order; each CTU compares merge-left / merge-up reuse of the
+    already-decided neighbour params (1-2 merge-flag bins) against fresh
+    params (merge flags at 0 + full payload), like HM's
+    TEncSampleAdaptiveOffset::decideBlkParams.  Merged CTUs share the
+    neighbour's SaoParams, so the serializer's key()-equality emits the
+    merge flag.
+    """
     h, w = orig.shape
     cat_planes = {c: _eo_categories(deblocked, c) for c in range(4)}
     grid = []
@@ -179,8 +225,27 @@ def estimate_frame(orig: np.ndarray, deblocked: np.ndarray, ctu_size: int,
         for cx in range((w + ctu_size - 1) // ctu_size):
             y0, y1 = cy * ctu_size, min((cy + 1) * ctu_size, h)
             x0, x1 = cx * ctu_size, min((cx + 1) * ctu_size, w)
-            row.append(estimate_ctu(orig, deblocked, cat_planes,
-                                    y0, y1, x0, x1, lam))
+            n_flags = (1 if cx > 0 else 0) + (1 if cy > 0 else 0)
+            new_p, new_cost = estimate_ctu(orig, deblocked, cat_planes,
+                                           y0, y1, x0, x1, lam)
+            best_p, best_cost = new_p, new_cost + lam * n_flags
+            diff = (orig[y0:y1, x0:x1].astype(np.int64)
+                    - deblocked[y0:y1, x0:x1].astype(np.int64))
+            r_reg = deblocked[y0:y1, x0:x1].astype(np.int64)
+            if merge and cx > 0:
+                p = row[cx - 1]
+                cost = _params_dist_delta(p, diff, r_reg, cat_planes,
+                                          y0, y1, x0, x1) + lam * 1
+                if cost < best_cost:
+                    best_p, best_cost = p, cost
+            if merge and cy > 0:
+                p = grid[cy - 1][cx]
+                cost = (_params_dist_delta(p, diff, r_reg, cat_planes,
+                                           y0, y1, x0, x1)
+                        + lam * (2 if cx > 0 else 1))
+                if cost < best_cost:
+                    best_p, best_cost = p, cost
+            row.append(best_p)
         grid.append(row)
     return grid
 

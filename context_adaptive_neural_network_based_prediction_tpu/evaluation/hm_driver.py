@@ -38,6 +38,27 @@ class HmPaths:
     config: str = "/root/reference/hevc/configuration/intra_main_rext.cfg"
 
 
+def hm_binary(name: str) -> Optional[str]:
+    """Resolves an HM-16.15 executable (e.g. "TAppDecoderStatic").
+
+    Search order: $HM_BIN_DIR, the /tmp/hevc build tree (NOTES_ROUND1.md
+    recipe), then the copies committed under artifacts/hm_bin/ so golden
+    interop verification survives environment resets.  Returns None when the
+    binary is nowhere to be found.
+    """
+    candidates = []
+    if os.environ.get("HM_BIN_DIR"):
+        candidates.append(os.path.join(os.environ["HM_BIN_DIR"], name))
+    candidates.append(f"/tmp/hevc/hm_16_15_regular/bin/{name}")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    candidates.append(os.path.join(repo_root, "artifacts", "hm_bin", name))
+    for path in candidates:
+        if os.path.isfile(path) and os.access(path, os.X_OK):
+            return path
+    return None
+
+
 @dataclass
 class HmResult:
     rate_bpp: float

@@ -35,10 +35,16 @@ def main():
     p.add_argument("--repeats", type=int, default=80,
                    help="random 320x320 crops drawn per source image")
     p.add_argument("--pair", action="store_true")
+    p.add_argument("--width", type=int, default=None,
+                   help="4 or 8: write offline (above,left,target) triplet "
+                        "shards for FC training (reference sets/writing.py "
+                        "w in {4,8} mode); omit for 320x320 crop shards")
     args = p.parse_args()
 
     paths = [s for s in SOURCES for _ in range(args.repeats)]
-    n = datasets.create_training_shards(paths, args.output_dir, is_pair=args.pair)
+    n = datasets.create_training_shards(paths, args.output_dir,
+                                        width_target=args.width,
+                                        is_pair=args.pair)
     mean = datasets.compute_luminance_mean(SOURCES)
     mean_path = datasets.save_mean_training(
         mean, os.path.join(args.output_dir, "means"))
