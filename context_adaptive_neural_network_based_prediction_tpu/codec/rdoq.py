@@ -378,6 +378,8 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
         abs_sum += level
         out[blk] = -level if flat[blk] < 0 else level
 
+    import os
+    _dbg = bool(os.environ.get("RDOQ_SDH_DEBUG"))
     if sign_hiding and abs_sum >= 2:
         inv_scale = float(transform.INV_QUANT_SCALES[rem])
         rd_factor = int(inv_scale * inv_scale * (1 << (2 * per)) / lam / 16 + 0.5)
@@ -431,6 +433,13 @@ def rdoq_python(coeffs: np.ndarray, qp: int, mode: int, lam: float,
                                 this_sign = 0 if flat[blk] >= 0 else 1
                                 if this_sign != signbit:
                                     cur_cost = big
+                        if _dbg:
+                            print(f"  sdh subset={subset} i={i} blk={blk} "
+                                  f"out={int(out[blk])} dU={int(delta_u[blk])} "
+                                  f"incUp={int(rate_inc_up[blk])} "
+                                  f"incDn={int(rate_inc_down[blk])} "
+                                  f"sigD={int(sig_rate_delta[blk])} "
+                                  f"cost={cur_cost} chg={cur_change}")
                         if cur_cost < min_cost:
                             min_cost, final_change, min_pos = cur_cost, cur_change, blk
                     if (out[min_pos] == entropy_max

@@ -4,8 +4,15 @@ Semantic parity with HM-16.15 `TComTrQuant.cpp` (`xTrMxN:862`,
 `xITrMxN`, `xQuant:1126`, `xDeQuant:1309`) for 8-bit, square TUs, no scaling
 lists:
 
-* forward: two matrix stages with rounding shifts
-  shift_1st = log2(N) + bitDepth + 6 - 15, shift_2nd = log2(N) + 6;
+* forward: two matrix stages with rounding shifts.  The reference HM build
+  has `RExt__HIGH_BIT_DEPTH_SUPPORT=1` (TypeDef.h:127), which makes the
+  ENCODER-side forward transform use the 14-bit high-precision matrices
+  (TComRom.cpp:441-468, `g_aiT*[TRANSFORM_FORWARD]`) with
+  shift_1st = log2(N) + bitDepth + 14 - 15, shift_2nd = log2(N) + 14, while
+  the inverse keeps the normative 6-bit matrices.  Matching this matters:
+  with the 6-bit forward our quantizer sees coefficients off by a few units,
+  which flips marginal RDOQ/sign-hiding decisions and compounds through the
+  intra prediction chain (measured ~1% lambda-cost loss vs HM);
 * inverse: shift_1st = 7 with clip to +-2^15, shift_2nd = 20 - bitDepth;
 * quant:   q = sign * ((|c| * quantScale[QP%6] + round) >> (14 + QP/6 + tshift))
   with round = 171 << (qbits - 9) for I slices and tshift = 15 - bitDepth -
@@ -36,6 +43,11 @@ TRANSFORM_MATRIX_SHIFT = 6
 QUANT_SCALES = (26214, 23302, 20560, 18396, 16384, 14564)
 INV_QUANT_SCALES = (40, 45, 51, 57, 64, 72)
 
+# Forward-transform matrix shift of the high-precision matrices
+# (HM TComRom.h g_transformMatrixShift[TRANSFORM_FORWARD] under
+# RExt__HIGH_BIT_DEPTH_SUPPORT; the inverse stays at 6).
+FWD_MATRIX_SHIFT = 14
+
 # Hand-tuned odd-row constants of the HEVC spec integer DCT, per size.
 _ODD_CONSTS = {
     4: (83, 36),
@@ -44,7 +56,17 @@ _ODD_CONSTS = {
     32: (90, 90, 88, 85, 82, 78, 73, 67, 61, 54, 46, 38, 31, 22, 13, 4),
 }
 
-# HEVC DST-VII 4x4 (luma intra 4x4 TUs).
+# 14-bit high-precision forward-transform constants (TComRom.cpp:441-462).
+_ODD_CONSTS_HP = {
+    4: (21266, 9224),
+    8: (22813, 19244, 12769, 4563),
+    16: (23120, 22063, 20450, 17972, 14642, 11109, 6446, 2316),
+    32: (23106, 22852, 22445, 21848, 20995, 19810, 18601, 17143,
+         15718, 13853, 11749, 9846, 7908, 5573, 3281, 946),
+}
+
+# HEVC DST-VII 4x4 (luma intra 4x4 TUs), 6-bit (inverse/normative) and the
+# 14-bit forward pair (g_as_DST_MAT_4, TComRom.cpp:464-468).
 DST4 = np.array([
     [29, 55, 74, 84],
     [74, 74, 0, -74],
@@ -52,20 +74,28 @@ DST4 = np.array([
     [55, -84, 74, -29],
 ], dtype=np.int32)
 
+DST4_FWD = np.array([
+    [7424, 14081, 18893, 21505],
+    [18893, 18893, 0, -18893],
+    [21505, -7424, -18893, 14081],
+    [14081, -21505, 18893, -7424],
+], dtype=np.int32)
+
 
 @functools.lru_cache(maxsize=None)
-def dct_matrix(n: int) -> np.ndarray:
+def dct_matrix(n: int, high_precision: bool = False) -> np.ndarray:
     """The HEVC integer DCT-II matrix of size n (4, 8, 16 or 32)."""
     if n == 2:
-        return np.array([[64, 64], [64, -64]], dtype=np.int64)
-    half = dct_matrix(n // 2)
+        base = 16384 if high_precision else 64
+        return np.array([[base, base], [base, -base]], dtype=np.int64)
+    half = dct_matrix(n // 2, high_precision)
     t = np.zeros((n, n), dtype=np.int64)
     # Even rows: half-size rows mirrored (T[2m][N-1-n] = T[2m][n]).
     for m in range(n // 2):
         t[2 * m, : n // 2] = half[m]
         t[2 * m, n // 2:] = half[m][::-1]
     # Odd rows: cosine phase folding over the odd-constant list.
-    odd = _ODD_CONSTS[n]
+    odd = (_ODD_CONSTS_HP if high_precision else _ODD_CONSTS)[n]
     for k in range(1, n, 2):
         for col in range(n):
             p = (k * (2 * col + 1)) % (4 * n)
@@ -84,6 +114,13 @@ def _self_test_matrices():
         off = gram - np.diag(np.diag(gram))
         # HEVC matrices are near-orthogonal: off-diagonal energy is tiny.
         assert np.abs(off).max() <= 512, f"DCT{n} generation broken"
+        t_hp = dct_matrix(n, True)
+        gram = t_hp @ t_hp.T
+        off = gram - np.diag(np.diag(gram))
+        # Relative near-orthogonality (entries are ~2^8 larger, so gram
+        # deviations scale by ~2^16).
+        assert np.abs(off).max() <= gram[0, 0] * 0.01, \
+            f"DCT{n} HP generation broken"
 
 
 _self_test_matrices()
@@ -99,9 +136,10 @@ def _jitted_fwd(n: int, use_dst: bool, bit_depth: int):
     import jax.numpy as jnp
 
     log2n = n.bit_length() - 1
-    t_np = DST4 if use_dst else np.asarray(dct_matrix(n), np.int32)
-    shift1 = log2n + bit_depth + TRANSFORM_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
-    shift2 = log2n + TRANSFORM_MATRIX_SHIFT
+    t_np = (DST4_FWD if use_dst
+            else np.asarray(dct_matrix(n, True), np.int32))
+    shift1 = log2n + bit_depth + FWD_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
+    shift2 = log2n + FWD_MATRIX_SHIFT
     add1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
     add2 = 1 << (shift2 - 1)
 
@@ -109,9 +147,18 @@ def _jitted_fwd(n: int, use_dst: bool, bit_depth: int):
         t = jnp.asarray(t_np)
         r = resi.astype(jnp.int32)
         # Stage 1 along width: A[b, i, k] = (sum_n R[b,i,n] T[k,n] + add) >> s1.
+        # |r| <= 2^9, |T| < 2^15, N <= 32 -> |sum| < 2^29: int32-safe.
         a = (jnp.einsum("bin,kn->bik", r, t) + add1) >> shift1
-        # Stage 2 along height: C[b, k, l] = (sum_i T[k,i] A[b,i,l] + add) >> s2.
-        c = (jnp.einsum("ki,bil->bkl", t, a) + add2) >> shift2
+        # Stage 2 along height.  |a| can reach ~2^16, so a single int32
+        # accumulation would overflow (JAX has no int64 without x64); split
+        # a = hi*256 + lo and recombine under the shift, exactly:
+        # (hi_sum*2^8 + lo_sum + add) >> s2 == (hi_sum + (lo_sum+add >> 8))
+        # >> (s2-8), since s2 = log2n+14 >= 16 > 8 and floor-shifts compose.
+        hi = a >> 8
+        lo = a & 255
+        hi_sum = jnp.einsum("ki,bil->bkl", t, hi)
+        lo_sum = jnp.einsum("ki,bil->bkl", t, lo)
+        c = (hi_sum + ((lo_sum + add2) >> 8)) >> (shift2 - 8)
         return c
 
     return jax.jit(fwd)
@@ -213,9 +260,10 @@ def forward_transform_np(residuals: np.ndarray, *, use_dst: bool = False,
     """Numpy twin of `forward_transform` (identical integer semantics)."""
     n = residuals.shape[-1]
     log2n = n.bit_length() - 1
-    t = (DST4 if use_dst else np.asarray(dct_matrix(n), np.int32)).astype(np.int64)
-    shift1 = log2n + bit_depth + TRANSFORM_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
-    shift2 = log2n + TRANSFORM_MATRIX_SHIFT
+    t = (DST4_FWD if use_dst
+         else np.asarray(dct_matrix(n, True), np.int32)).astype(np.int64)
+    shift1 = log2n + bit_depth + FWD_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
+    shift2 = log2n + FWD_MATRIX_SHIFT
     add1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
     add2 = 1 << (shift2 - 1)
     r = residuals.astype(np.int64)

@@ -1,12 +1,5 @@
-"""RDOQ parity probe: would our RDOQ pick HM's exact coefficient levels?
-
-Replays the HM golden stream TU by TU (native parse gives HM's geometry,
-modes and levels).  At each luma TU, predicts from the HM-path recon state,
-forms the encoder residual against the source, transforms it, and runs OUR
-rdoq() with context states evolved along HM's own coded syntax.  Reports how
-often our quantizer reproduces HM's levels and how the level sums compare —
-isolating quantizer calibration from mode/structure decisions.
-"""
+"""Dump one RDOQ mismatch vs HM in coefficient detail (extends the parity
+probe): input residual/coeffs and the level diffs by scan position."""
 
 import sys
 
@@ -19,13 +12,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from context_adaptive_neural_network_based_prediction_tpu.codec import (
-    hm_decoder, rdo, rdoq, syntax)
+    hm_decoder, rdo, rdoq, scans, syntax)
 from context_adaptive_neural_network_based_prediction_tpu.codec.contexts import (
     OFFSETS, make_context_states)
 from context_adaptive_neural_network_based_prediction_tpu.ops import (
     intra, reference_samples as rs, transform)
 
 GOLDEN = "/root/repo/tests/golden_hm/128_full_q32"
+TARGETS = [(56, 24, 8), (112, 32, 8), (120, 48, 8)]
 
 
 def main():
@@ -54,31 +48,6 @@ def main():
     est_ctx = make_context_states(qp)
     counter = rdo.BitCounter()
 
-    n_tu = n_match = 0
-    abs_ours = abs_hm = 0
-    nz_ours = nz_hm = 0
-    mismatch_examples = []
-    dj_total = 0.0  # sum over mismatched TUs of J(ours) - J(HM), real-bit basis
-    n_we_win = n_hm_wins = 0
-
-    def tu_cost(q, pred, orig, n, mode, ctx_base):
-        """Real lambda-cost of coding levels q for this TU (pixel-domain SSE
-        + context-coded bits from the current HM-path context state)."""
-        c = rdo.BitCounter()
-        ctx = ctx_base.copy()
-        cbf_ = 1 if q.any() else 0
-        c.encode_bin(cbf_, ctx, OFFSETS.cbf_luma)
-        if cbf_:
-            if d.pps.transform_skip_enabled and n == 4:
-                c.encode_bin(0, ctx, OFFSETS.transform_skip)
-            syntax.encode_coefficients(c, ctx, q, mode, d.pps.sign_data_hiding)
-            deq_ = transform.dequantize_np(q[None], qp)[0]
-            rr_ = transform.inverse_transform_np(deq_[None], use_dst=(n == 4))[0]
-            rec_ = np.clip(pred + rr_, 0, 255)
-        else:
-            rec_ = pred
-        sse_ = float(((orig - rec_) ** 2).sum())
-        return sse_ + lam * c.frac_bits
     for rec_meta in res["tu_meta"]:
         plane, x, y, n, mode, cbf, tskip, off = (int(v) for v in rec_meta)
         if plane != 0:
@@ -91,38 +60,38 @@ def main():
                 strong_intra_smoothing=d.sps.strong_intra_smoothing)
         pred = intra.predict_one_mode_np(ref_top, ref_left, mode)
         resi = src[y:y + n, x:x + n] - pred
-
         q_hm = (res["coeffs"][off:off + n * n].reshape(n, n) if cbf
                 else np.zeros((n, n), dtype=np.int32))
-        if not tskip:
+        if not tskip and (x, y, n) in TARGETS:
             coeff = transform.forward_transform_np(resi[None],
                                                    use_dst=(n == 4))[0]
-            q_ours = rdoq.rdoq(coeff, qp, mode, lam, est_ctx.copy(),
-                               cbf_ctx_offset=0,
-                               sign_hiding=d.pps.sign_data_hiding)
-            n_tu += 1
-            if np.array_equal(q_ours, q_hm):
-                n_match += 1
-            else:
-                orig = src[y:y + n, x:x + n]
-                j_ours = tu_cost(q_ours, pred, orig, n, mode, est_ctx)
-                j_hm = tu_cost(q_hm, pred, orig, n, mode, est_ctx)
-                dj_total += j_ours - j_hm
-                if j_ours < j_hm:
-                    n_we_win += 1
-                else:
-                    n_hm_wins += 1
-                if len(mismatch_examples) < 8:
-                    dif = int(np.abs(q_ours).sum() - np.abs(q_hm).sum())
-                    mismatch_examples.append((x, y, n, mode, dif,
-                                              round(j_ours - j_hm, 1)))
-            abs_ours += int(np.abs(q_ours).sum())
-            abs_hm += int(np.abs(q_hm).sum())
-            nz_ours += int((q_ours != 0).sum())
-            nz_hm += int((q_hm != 0).sum())
-
-        # Continue along HM's committed path: recon from HM's levels, and
-        # evolve contexts by re-encoding HM's actual TU syntax.
+            q_py = rdoq.rdoq_python(coeff, qp, mode, lam, est_ctx.copy(),
+                                    cbf_ctx_offset=0,
+                                    sign_hiding=d.pps.sign_data_hiding)
+            q_nat = rdoq.rdoq(coeff, qp, mode, lam, est_ctx.copy(),
+                              cbf_ctx_offset=0,
+                              sign_hiding=d.pps.sign_data_hiding)
+            print(f"\n=== TU ({x},{y}) n={n} mode={mode} ===")
+            print("coeff:\n", coeff)
+            print("ours(py):\n", q_py)
+            print("ours(native):\n", q_nat)
+            print("HM:\n", q_hm)
+            print("py==native:", np.array_equal(q_py, q_nat))
+            q_nosdh = rdoq.rdoq_python(coeff, qp, mode, lam, est_ctx.copy(),
+                                       cbf_ctx_offset=0, sign_hiding=False)
+            print("ours pre-SDH:\n", q_nosdh)
+            print("diff(ours_sdh - ours_presdh) nonzero:",
+                  list(zip(*np.nonzero(q_py - q_nosdh))))
+            print("diff(hm - ours_presdh) nonzero:",
+                  list(zip(*np.nonzero(q_hm - q_nosdh))))
+            scan_type = syntax._scan_for(mode, n, syntax.LUMA)
+            scan = scans.scan_order(n, n, scan_type)
+            dif = [(int(sp), int(q_py.reshape(-1)[scan[sp]]),
+                    int(q_hm.reshape(-1)[scan[sp]]))
+                   for sp in range(n * n)
+                   if q_py.reshape(-1)[scan[sp]] != q_hm.reshape(-1)[scan[sp]]]
+            print("scanpos diffs (pos, ours, hm):", dif)
+        # continue along HM path
         if cbf:
             deq = transform.dequantize_np(q_hm[None], qp)[0]
             if tskip:
@@ -142,15 +111,6 @@ def main():
                 counter.encode_bin(tskip, est_ctx, OFFSETS.transform_skip)
             syntax.encode_coefficients(counter, est_ctx, q_hm, mode,
                                        d.pps.sign_data_hiding)
-
-    print(f"luma TUs (non-tskip, cbf or not): {n_tu}")
-    print(f"exact level match: {n_match} ({100*n_match/max(n_tu,1):.1f}%)")
-    print(f"sum|level|: ours {abs_ours}  HM {abs_hm}")
-    print(f"nonzero count: ours {nz_ours}  HM {nz_hm}")
-    print(f"mismatched-TU real-RD: ours wins {n_we_win}, HM wins {n_hm_wins}, "
-          f"total J(ours)-J(HM) = {dj_total:+.0f}")
-    for ex in mismatch_examples:
-        print("  mismatch x,y,n,mode,d|lvl|,dJ:", ex)
 
 
 if __name__ == "__main__":
