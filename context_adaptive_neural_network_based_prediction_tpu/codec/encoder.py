@@ -17,10 +17,27 @@ Structure (HM semantics, TPU-first layering):
   capped at 32 (a 64x64 PU codes four 32x32 TUs sequentially);
 * per-PU mode decision: batched 35-mode prediction + Hadamard-SATD fast pass
   (candidate counts per g_aucIntraModeNumFast_UseMPM) + MPMs, then full RD
-  (transform/quant/recon + context-adaptive bit estimates) on the candidates;
-* rate estimates evolve a dedicated context array along the committed syntax
-  order, so estimation tracks CABAC adaptation; the real arithmetic pass
-  serializes the decided tree afterwards.
+  on the candidates;
+* RD bit accounting replicates HM's RD-coder arithmetic EXACTLY - this is
+  what closes the BD gap to the reference encoder.  HM's counting coder
+  truncates fractional CABAC bits to integers at every decision site
+  (TEncBinCABACCounter::getNumWrittenBits = fracBits >> 15), and each site
+  counts a specific syntax span from a specific context snapshot:
+  - fast pass: SATD + sqrtLambda * floor(mode bits)   (xModeBitsIntra);
+  - per-candidate TU trial: dist + lambda * floor(header + decided-subtree
+    bits) with ONE truncation per decided node (xRecurIntraCodingLumaQT /
+    xGetIntraBitsQT); the node header re-codes part_size/mode at top-left
+    nodes exactly as xEncIntraHeader does;
+  - candidate trials always start from the CU-entry context state
+    (CI_CURR_BEST) - even later PUs of an NxN CU (TEncSearch.cpp:2469);
+  - two-stage TU search per HHI_RQT_INTRA_SPEEDUP: mode decision with the
+    TU tree at minimum depth, then one full TU-split search for the winner;
+  - whole-CU cost: ONE truncation over the complete CU syntax
+    (TEncCu::xCheckRDCostIntra), split flags counted separately with their
+    own truncation (TEncCu.cpp:795-805, 917-935).
+  The committed context array follows the whole-CU counting passes, exactly
+  like HM's CI_NEXT_BEST chain; the real arithmetic pass serializes the
+  decided tree afterwards.
 
 The bitstream is this framework's own format (header + CABAC payload); HEVC
 bit-exactness against HM NAL streams is a later-stage goal (SURVEY.md §7
@@ -103,8 +120,7 @@ class FrameEncoder:
                  rd_candidates: Optional[dict] = None,
                  use_rdoq: bool = True, deblocking: bool = True,
                  max_tu_depth: int = 2, sao: bool = True,
-                 transform_skip: bool = True, hm_speedup: bool = False,
-                 tskip_fast: bool = True):
+                 transform_skip: bool = True, tskip_fast: bool = True):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -136,13 +152,7 @@ class FrameEncoder:
         self.deblocking = deblocking
         self.sao = sao
         self.transform_skip = transform_skip
-        # HHI_RQT_INTRA_SPEEDUP analog: mode decision at no-TU-split, full
-        # TU search for the winner only.  Measured on rgb_library 384^2
-        # (scripts/ablate_r2.py): the joint (mode, TU-tree) search beats the
-        # two-stage HM structure by ~0.9-1.8% lambda-RD cost here, so the
-        # speedup is OFF by default and kept as a fast preset.
-        # tskip_fast = TransformSkipFast (neutral RD, fewer trials).
-        self.hm_speedup = hm_speedup
+        # tskip_fast = TransformSkipFast (tskip trialled for NxN 4x4 only).
         self.tskip_fast = tskip_fast
         self.max_tu_depth = max_tu_depth
         uh, uw = self.h // 4, self.w // 4
@@ -160,12 +170,13 @@ class FrameEncoder:
         x1 = min(x + size, self.w)
         y1 = min(y + size, self.h)
         # Snapshot covers the CU area plus everything the trial may touch
-        # (only the CU area itself changes; maps are unit-granular).
+        # (only the CU area itself changes; maps are unit-granular).  The
+        # context array is managed explicitly by the trial choreography
+        # (it mirrors HM's CI_* snapshot discipline), NOT here.
         return (self.recon[y:y1, x:x1].copy(),
                 self.unit_coded[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
-                self.est_ctx.copy(),
                 self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4].copy())
 
     def _restore(self, x, y, size, snap):
@@ -175,8 +186,7 @@ class FrameEncoder:
         self.unit_coded[y // 4:y1 // 4, x // 4:x1 // 4] = snap[1]
         self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[2]
         self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[3]
-        self.est_ctx = snap[4]
-        self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[5]
+        self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[4]
 
     def _neighbor_mode(self, x: int, y: int, left: bool) -> int:
         """Luma mode of the left/above PU for MPM (DC if unavailable)."""
@@ -273,201 +283,218 @@ class FrameEncoder:
                 strong_intra_smoothing=self.strong_smoothing)
         return intra.predict_one_mode_np(ref_top, ref_left, mode)
 
-    # ---------------------------------------------------------- PU search --
+    # ------------------------------------------------------ TU machinery ---
 
-    def _code_tu(self, x, y, n, mode, counter_ctx, counter, *, tu_depth0: bool,
-                 pred: Optional[np.ndarray] = None, allow_tskip: bool = True):
-        """Transform-quant-recon one TU with `mode` prediction at current state.
+    def _quantize_tu(self, x, y, n, mode, ctx, *, pred=None, tskip: int,
+                     depth0: bool):
+        """Transform/quantize/reconstruct one TU (no state committed).
 
-        Returns (sse, tu_record); commits recon/unit_coded.  Rate is added to
-        `counter` (cbf + coefficients).  `allow_tskip` gates the ts=1 *trial*
-        (TransformSkipFast restricts it to NxN partitions,
-        `TEncSearch.cpp:1528-1531`); the flag bin itself is always coded when
-        the PPS enables transform skip.
+        RDOQ reads `ctx` exactly as HM's RDOQ reads the estBit tables
+        refreshed from the RD coder at this point in the trial.
+        Returns (TuRecord, rec, sse).
         """
         if pred is None:
             pred = self._predict_single(x, y, n, mode)
         orig = self.frame[y:y + n, x:x + n]
         resi = orig - pred
-        use_dst = n == 4
         syn_mode = mode if mode != PNNS_MODE else 0
-
-        def quantize_path(coeff):
-            if self.use_rdoq:
-                from . import rdoq as rdoq_mod
-
-                return rdoq_mod.rdoq(coeff, self.qp, syn_mode, self.lam,
-                                     self.est_ctx,
-                                     cbf_ctx_offset=1 if tu_depth0 else 0,
-                                     sign_hiding=self.sign_hiding)
-            return transform.quantize_np(coeff[None], self.qp)[0]
-
-        coeff = transform.forward_transform_np(resi[None], use_dst=use_dst)[0]
-        q = quantize_path(coeff)
-        tskip = 0
-        if self.transform_skip and n == 4 and (allow_tskip or not self.tskip_fast):
-            # HM evaluates transform skip for 4x4 TUs: coeff = resi << tshift.
+        if tskip:
             tshift = transform.transform_shift(2)
-            coeff_ts = (resi.astype(np.int32) << tshift)
-            q_ts = quantize_path(coeff_ts)
-            # RD compare the two (flag bit + coeff bits + distortion).
-            def eval_path(qq, is_ts):
-                c = rdo.BitCounter()
-                scratch = counter_ctx.copy()
-                cbf_ = 1 if qq.any() else 0
-                c.encode_bin(cbf_, scratch,
-                             OFFSETS.cbf_luma + (1 if tu_depth0 else 0))
-                if cbf_:
-                    c.encode_bin(1 if is_ts else 0, scratch,
-                                 OFFSETS.transform_skip)
-                    syntax.encode_coefficients(c, scratch, qq, syn_mode,
-                                               self.sign_hiding)
-                    deq_ = transform.dequantize_np(qq[None], self.qp)[0]
-                    if is_ts:
-                        add = 1 << (tshift - 1)
-                        rr = (deq_ + add) >> tshift
-                    else:
-                        rr = transform.inverse_transform_np(
-                            deq_[None], use_dst=True)[0]
-                    rec_ = np.clip(pred + rr, 0, 255)
-                else:
-                    rec_ = pred
-                sse_ = float(((orig - rec_) ** 2).sum())
-                return sse_ + self.lam * c.frac_bits, rec_
+            coeff = resi.astype(np.int32) << tshift
+        else:
+            coeff = transform.forward_transform_np(resi[None],
+                                                   use_dst=(n == 4))[0]
+        if self.use_rdoq:
+            from . import rdoq as rdoq_mod
 
-            cost_t, _ = eval_path(q, False)
-            cost_ts, _ = eval_path(q_ts, True)
-            if cost_ts < cost_t:
-                q = q_ts
-                tskip = 1
-
+            q = rdoq_mod.rdoq(coeff, self.qp, syn_mode, self.lam, ctx,
+                              cbf_ctx_offset=1 if depth0 else 0,
+                              sign_hiding=self.sign_hiding)
+        else:
+            q = transform.quantize_np(coeff[None], self.qp)[0]
         cbf = 1 if q.any() else 0
-        # cbf context: TU at trafo depth 0 -> ctx 1; forced 64->32 split -> 0.
-        cbf_ctx = OFFSETS.cbf_luma + (1 if tu_depth0 else 0)
-        counter.encode_bin(cbf, counter_ctx, cbf_ctx)
         if cbf:
-            if self.transform_skip and n == 4:
-                counter.encode_bin(tskip, counter_ctx, OFFSETS.transform_skip)
             deq = transform.dequantize_np(q[None], self.qp)[0]
             if tskip:
                 tshift = transform.transform_shift(2)
-                rec_resi = (deq + (1 << (tshift - 1))) >> tshift
+                rr = (deq + (1 << (tshift - 1))) >> tshift
             else:
-                rec_resi = transform.inverse_transform_np(deq[None],
-                                                          use_dst=use_dst)[0]
-            rec = np.clip(pred + rec_resi, 0, 255)
-            syntax.encode_coefficients(counter, counter_ctx, q, syn_mode,
-                                       self.sign_hiding)
+                rr = transform.inverse_transform_np(deq[None],
+                                                    use_dst=(n == 4))[0]
+            rec = np.clip(pred + rr, 0, 255)
         else:
             rec = pred
+        sse = int(((orig - rec) ** 2).sum())
+        return TuRecord(x, y, n, cbf, q if cbf else None, tskip), rec, sse
+
+    def _commit_tu(self, turec: TuRecord, rec: np.ndarray):
+        x, y, n = turec.x, turec.y, turec.n
         self.recon[y:y + n, x:x + n] = rec
         self.unit_coded[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = True
         self.tu_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = self.tu_counter
         self.tu_counter += 1
-        sse = int(((orig - rec) ** 2).sum())
-        return sse, TuRecord(x, y, n, cbf, q if cbf else None, tskip)
 
-    def _code_tu_tree(self, x, y, size, depth, mode, preds=None, *,
-                      nxn: bool = False, no_split: bool = False):
-        """Recursive TU quadtree RD search (xRecurIntraCodingLumaQT analog).
+    def _count_leaf(self, counter, ctx, turec: TuRecord, mode, *,
+                    depth0: bool):
+        """cbf (+ transform-skip flag) + coefficients of one decided TU."""
+        counter.encode_bin(turec.cbf, ctx,
+                           OFFSETS.cbf_luma + (1 if depth0 else 0))
+        if turec.cbf:
+            if self.transform_skip and turec.n == 4:
+                counter.encode_bin(turec.tskip, ctx, OFFSETS.transform_skip)
+            syntax.encode_coefficients(counter, ctx, turec.coeffs,
+                                       mode if mode != PNNS_MODE else 0,
+                                       self.sign_hiding)
 
-        Returns (sse, frac_bits, [TuRecord leaves in coding order]); commits
-        the winning reconstruction/contexts.
+    def _count_subtree(self, counter, ctx, x, y, size, depth, leaves, mode,
+                       *, nxn: bool):
+        """Subdiv flags + leaf syntax of a decided TU subtree (z-order)."""
+        forced = size > MAX_TU
+        flag_present = (not forced) and size > 4 and depth < self.max_tu_depth
+        leaf = leaves.get((x, y, size))
+        if flag_present:
+            counter.encode_bin(0 if leaf is not None else 1, ctx,
+                               OFFSETS.trans_subdiv
+                               + (5 - (size.bit_length() - 1)))
+        if leaf is not None:
+            self._count_leaf(counter, ctx, leaf, mode,
+                             depth0=(depth == 0 and not nxn))
+            return
+        half = size // 2
+        for (cx, cy) in ((x, y), (x + half, y), (x, y + half),
+                         (x + half, y + half)):
+            self._count_subtree(counter, ctx, cx, cy, half, depth + 1,
+                                leaves, mode, nxn=nxn)
 
-        `nxn`: the PU is one 4x4 quadrant of an NxN CU — its TU sits at
-        trafo depth 1 in the stream, so cbf_luma uses context 0 and transform
-        skip may be trialled (TransformSkipFast).  `no_split`: evaluate the
-        whole-TU option only (HM HHI_RQT_INTRA_SPEEDUP mode loop,
-        `TEncSearch.cpp:1488-1506,2474`).
+    def _tu_node(self, x, y, size, depth, mode, ctx, *, nxn: bool,
+                 check_first: bool, hdr, preds=None):
+        """xRecurIntraCodingLumaQT analog: decide + commit one TU subtree.
+
+        `ctx` is the LIVE trial context array: counting passes mutate it
+        exactly like HM's RD coder, with store/load at the same points
+        (CI_QT_TRAFO_ROOT / CI_QT_TRAFO_TEST / CI_TEMP_BEST).  `hdr` is
+        (part_size_bin_or_None, cu_pos, mode_pos, mpms): the node header
+        (xEncIntraHeader) re-codes part_size at the CU's top-left node and
+        the PU mode at the mode position's node in EVERY counting pass.
+        Returns (sse, bits_int, cost, leaves) where cost carries ONE
+        fractional-bit truncation over header + decided subtree.
         """
         forced = size > MAX_TU
-        half = size // 2
-        quadrants = ((x, y), (x + half, y), (x, y + half), (x + half, y + half))
-        if forced:
-            sse, bits, tus = 0, 0.0, []
-            for (cx, cy) in quadrants:
-                s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode,
-                                             no_split=no_split)
-                sse += s
-                bits += b
-                tus += t
-            return sse, bits, tus
-
-        flag_present = size > 4 and depth < self.max_tu_depth
+        flag_present = (not forced) and size > 4 and depth < self.max_tu_depth
         flag_ctx = OFFSETS.trans_subdiv + (5 - (size.bit_length() - 1))
-        tu_depth0 = depth == 0 and not nxn
-        pred = None
-        if preds is not None and depth == 0:
-            pred = preds[-1] if mode == PNNS_MODE else preds[mode]
-        if not flag_present:
+        check_split = forced or (flag_present and not check_first)
+        half = size // 2
+        quadrants = ((x, y), (x + half, y), (x, y + half),
+                     (x + half, y + half))
+        part_size_bin, cu_pos, mode_pos, mpms = hdr
+
+        def code_hdr(counter, cctx):
+            if (x, y) == cu_pos and part_size_bin is not None:
+                counter.encode_bin(part_size_bin, cctx, OFFSETS.part_size)
+            if (x, y) == mode_pos:
+                self._encode_mode_bits(counter, cctx, mode, mpms)
+
+        single = None
+        root_ctx = ctx.copy()                      # CI_QT_TRAFO_ROOT
+        if not forced:
+            pre = self._save(x, y, size)
+            pred = None
+            if preds is not None and depth == 0:
+                pred = preds[-1] if mode == PNNS_MODE else preds[mode]
+            depth0 = depth == 0 and not nxn
+            tu0, rec0, sse0 = self._quantize_tu(x, y, size, mode, ctx,
+                                                pred=pred, tskip=0,
+                                                depth0=depth0)
             counter = rdo.BitCounter()
-            s, turec = self._code_tu(x, y, size, mode, self.est_ctx, counter,
-                                     tu_depth0=tu_depth0, pred=pred,
-                                     allow_tskip=nxn)
-            return s, counter.frac_bits, [turec]
+            code_hdr(counter, ctx)
+            if flag_present:
+                counter.encode_bin(0, ctx, flag_ctx)
+            self._count_leaf(counter, ctx, tu0, mode, depth0=depth0)
+            bits0 = counter.bits >> 15
+            cost0 = sse0 + self.lam * bits0
+            chosen = (cost0, sse0, bits0, tu0, rec0)
+            post0 = ctx.copy()
+            if (size == 4 and self.transform_skip
+                    and (nxn or not self.tskip_fast)):
+                ctx[:] = root_ctx
+                tu1, rec1, sse1 = self._quantize_tu(x, y, size, mode, ctx,
+                                                    pred=pred, tskip=1,
+                                                    depth0=depth0)
+                # TS with cbf 0 is forbidden (TEncSearch.cpp:1565-1569).
+                if tu1.cbf:
+                    counter = rdo.BitCounter()
+                    code_hdr(counter, ctx)
+                    self._count_leaf(counter, ctx, tu1, mode, depth0=depth0)
+                    bits1 = counter.bits >> 15
+                    cost1 = sse1 + self.lam * bits1
+                    if cost1 < cost0:
+                        chosen = (cost1, sse1, bits1, tu1, rec1)
+                    else:
+                        ctx[:] = post0
+                else:
+                    ctx[:] = post0
+            cost_s, sse_s, bits_s, tu_s, rec_s = chosen
+            self._commit_tu(tu_s, rec_s)
+            single = (sse_s, bits_s, cost_s, [tu_s])
+            if not check_split:
+                return single
+            state_single = self._save(x, y, size)   # CI_QT_TRAFO_TEST
+            ctx_single = ctx.copy()
+            self._restore(x, y, size, pre)
+            ctx[:] = root_ctx
 
-        pre = self._save(x, y, size)
-        cw = rdo.BitCounter()
-        cw.encode_bin(0, self.est_ctx, flag_ctx)
-        s_w, turec = self._code_tu(x, y, size, mode, self.est_ctx, cw,
-                                   tu_depth0=tu_depth0, pred=pred,
-                                   allow_tskip=nxn)
-        bits_w = cw.frac_bits
-        if no_split:
-            return s_w, bits_w, [turec]
-        cost_w = s_w + self.lam * bits_w
-        state_w = self._save(x, y, size)
-        self._restore(x, y, size, pre)
-
-        cs = rdo.BitCounter()
-        cs.encode_bin(1, self.est_ctx, flag_ctx)
-        sse_s, bits_s, tus_s = 0, cs.frac_bits, []
+        # ---- split trial ----
+        sse_sp, leaves_sp = 0, []
         for (cx, cy) in quadrants:
-            s, b, t = self._code_tu_tree(cx, cy, half, depth + 1, mode)
-            sse_s += s
-            bits_s += b
-            tus_s += t
-        cost_s = sse_s + self.lam * bits_s
-        if cost_w <= cost_s:
-            self._restore(x, y, size, state_w)
-            return s_w, bits_w, [turec]
-        return sse_s, bits_s, tus_s
-
-    def _try_pu(self, x, y, n, mode, mpms, preds=None, *, nxn: bool = False,
-                no_split: bool = False) -> tuple:
-        """Evaluate + commit one PU with a given mode.  Returns (cost, rec)."""
+            s, _b, _c, l = self._tu_node(cx, cy, half, depth + 1, mode, ctx,
+                                         nxn=nxn, check_first=check_first,
+                                         hdr=hdr, preds=None)
+            sse_sp += s
+            leaves_sp += l
+        # One truncation over header + the whole decided subtree, counted
+        # from the node-root state (TEncSearch.cpp:1706-1712).
+        ctx[:] = root_ctx
         counter = rdo.BitCounter()
-        self._encode_mode_bits(counter, self.est_ctx, mode, mpms)
-        pu = PuRecord(x, y, n, mode)
-        sse, tu_bits, tus = self._code_tu_tree(x, y, n, 0, mode, preds,
-                                               nxn=nxn, no_split=no_split)
-        pu.tus = tus
-        self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
-        cost = sse + self.lam * (counter.frac_bits + tu_bits)
-        return cost, pu
+        code_hdr(counter, ctx)
+        self._count_subtree(counter, ctx, x, y, size, depth,
+                            {(t.x, t.y, t.n): t for t in leaves_sp}, mode,
+                            nxn=nxn)
+        bits_sp = counter.bits >> 15
+        cost_sp = sse_sp + self.lam * bits_sp
 
-    def _search_pu(self, x, y, n, *, nxn: bool = False):
-        """Candidate selection + RD over candidates; commits the winner.
+        if single is not None and cost_sp >= single[2]:
+            # Single wins (split must beat it strictly, TEncSearch.cpp:1715).
+            self._restore(x, y, size, state_single)
+            ctx[:] = ctx_single
+            return single
+        return sse_sp, bits_sp, cost_sp, leaves_sp
 
-        HM's HHI_RQT_INTRA_SPEEDUP structure (`TEncSearch.cpp:2474,2574`):
-        the mode decision evaluates every candidate with the TU quadtree
-        frozen at no-split, then the full TU-split search runs once, for the
-        winning mode only.  Returns (cost, PuRecord).
+    # ---------------------------------------------------------- PU search --
+
+    def _search_pu(self, x, y, n, *, cu_pos, cu_ctx, nxn: bool = False):
+        """Mode decision for one PU (estIntraPredLumaQT per-PU analog).
+
+        Every candidate trial starts from `cu_ctx`, the context state at CU
+        entry (HM loads CI_CURR_BEST per candidate, TEncSearch.cpp:2469 -
+        even for later PUs of an NxN CU).  Two-stage TU search per
+        HHI_RQT_INTRA_SPEEDUP.  Commits the winner; returns (PuRecord, sse).
         """
         mpms = self._mpms(x, y)
         preds, flags = self._predict_modes(x, y, n)
         orig = self.frame[y:y + n, x:x + n]
-
         resi = preds - orig[None]
         satd = rdo.satd(resi.astype(np.int32))
         n_modes = preds.shape[0]
-        # Fast mode bits on a scratch context copy per mode.
+        # Fast pass: SATD + sqrtLambda * floor(mode bits) (xModeBitsIntra
+        # truncates to integer bits).
         fast_costs = np.empty(n_modes)
         for m in range(n_modes):
             counter = rdo.BitCounter()
-            scratch = self.est_ctx.copy()
-            self._encode_mode_bits(counter, scratch, m if m < 35 else PNNS_MODE, mpms)
-            fast_costs[m] = float(satd[m]) + self.sqrt_lam * counter.frac_bits
+            scratch = cu_ctx.copy()
+            self._encode_mode_bits(counter, scratch,
+                                   m if m < 35 else PNNS_MODE, mpms)
+            fast_costs[m] = (float(satd[m])
+                             + self.sqrt_lam * float(counter.bits >> 15))
 
         k = self.n_candidates[n]
         order = np.argsort(fast_costs, kind="stable")
@@ -478,112 +505,156 @@ class FrameEncoder:
         if self.policy == "switch" and (n_modes - 1) not in candidates:
             candidates.append(n_modes - 1)  # force-include PNNS in full RD
 
-        best = None
+        # part_size is syntax only at min-size CUs (callers pass cu_pos for
+        # those); the bin rides the counting pass of the node at the CU's
+        # top-left, so only PU0 of an NxN CU carries it.
+        if cu_pos is not None and (x, y) == cu_pos:
+            part_size_bin = 0 if nxn else 1
+        else:
+            part_size_bin = None
+        ps_pos = cu_pos if cu_pos is not None else (x, y)
+
         pre = self._save(x, y, n)
+        best = None
+        hdr = (part_size_bin, ps_pos, (x, y), mpms)
         for m in candidates:
-            mode = PNNS_MODE if (self.policy == "switch" and m == n_modes - 1) else int(m)
-            cost, pu = self._try_pu(x, y, n, mode, mpms, preds=preds,
-                                    nxn=nxn, no_split=self.hm_speedup)
+            mode = (PNNS_MODE if (self.policy == "switch"
+                                  and m == n_modes - 1) else int(m))
+            ctx = cu_ctx.copy()
+            sse, bits, cost, leaves = self._tu_node(
+                x, y, n, 0, mode, ctx, nxn=nxn, check_first=True, hdr=hdr,
+                preds=preds)
             if best is None or cost < best[0]:
-                best = (cost, pu, self._save(x, y, n))
+                best = (cost, mode, sse, leaves, self._save(x, y, n))
             self._restore(x, y, n, pre)
-        # TU-split refinement for the winner (the whole-TU option is part of
-        # the full search, so its result can only match or beat the no-split
-        # cost); 4x4 PUs have no split to search.
-        if self.hm_speedup and n > 4:
-            cost, pu = self._try_pu(x, y, n, best[1].mode, mpms, preds=preds,
-                                    nxn=nxn)
-            return cost, pu
-        # Commit winner.
-        self._restore(x, y, n, best[2])
-        return best[0], best[1]
+        # Second pass: full TU-split search for the winning mode only.
+        if n > 4:
+            mode = best[1]
+            ctx = cu_ctx.copy()
+            sse, bits, cost, leaves = self._tu_node(
+                x, y, n, 0, mode, ctx, nxn=nxn, check_first=False, hdr=hdr,
+                preds=preds)
+            if cost < best[0]:
+                best = (cost, mode, sse, leaves, self._save(x, y, n))
+            self._restore(x, y, n, pre)
+        # Commit the winner.
+        self._restore(x, y, n, best[4])
+        self.mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = best[1]
+        return PuRecord(x, y, n, best[1], tus=best[3]), best[2]
 
     # ---------------------------------------------------------- CU search --
 
-    def compress_cu(self, x, y, size, depth):
-        """Returns (cost, CuNode or None). Commits the winning state."""
-        if x >= self.w or y >= self.h:
-            return 0.0, None
-        inside = x + size <= self.w and y + size <= self.h
-        forced_split = not inside and size > MIN_CU
-        can_split = size > MIN_CU
-        node = CuNode(x, y, size, depth, split=False)
-
-        split_flag_coded = can_split and inside
-        best_whole = None
-        if not forced_split:
-            pre = self._save(x, y, size)
-            counter = rdo.BitCounter()
-            if split_flag_coded:
-                counter.encode_bin(0, self.est_ctx,
-                                   OFFSETS.split_cu + self._split_ctx(x, y, depth))
-            flag_bits = counter.frac_bits
-            cost_whole, node_whole = self._compress_leaf(x, y, size, depth)
-            cost_whole += self.lam * flag_bits
-            best_whole = (cost_whole, node_whole, self._save(x, y, size))
-            self._restore(x, y, size, pre)
-
-        if can_split:
-            counter = rdo.BitCounter()
-            if split_flag_coded:
-                counter.encode_bin(1, self.est_ctx,
-                                   OFFSETS.split_cu + self._split_ctx(x, y, depth))
-            cost_split = self.lam * counter.frac_bits
-            children = []
-            half = size // 2
-            for (cx, cy) in ((x, y), (x + half, y), (x, y + half), (x + half, y + half)):
-                c_cost, c_node = self.compress_cu(cx, cy, half, depth + 1)
-                cost_split += c_cost
-                children.append(c_node)
-            if best_whole is None or cost_split < best_whole[0]:
-                node.split = True
-                node.children = children
-                return cost_split, node
-            # Whole wins: roll back split state, re-apply whole state.
-            self._restore(x, y, size, best_whole[2])
-            return best_whole[0], best_whole[1]
-
-        # Leaf-size CU: re-apply the whole-CU state (the trial loop restored
-        # the pre-state).
-        self._restore(x, y, size, best_whole[2])
-        return best_whole[0], best_whole[1]
+    def _count_cu(self, ctx, node: CuNode) -> int:
+        """One truncated count over the complete CU syntax (the
+        xCheckRDCostIntra whole-CU accounting); mutates `ctx` like HM's
+        CI_TEMP_BEST/CI_NEXT_BEST chain."""
+        counter = rdo.BitCounter()
+        if node.size == MIN_CU:
+            counter.encode_bin(0 if node.part_nxn else 1, ctx,
+                               OFFSETS.part_size)
+        for pu in node.pus:
+            mpms = self._mpms(pu.x, pu.y)
+            self._encode_mode_bits(counter, ctx, pu.mode, mpms)
+        for pu in node.pus:
+            leaves = {(t.x, t.y, t.n): t for t in pu.tus}
+            self._count_subtree(counter, ctx, pu.x, pu.y, pu.n, 0, leaves,
+                                pu.mode, nxn=node.part_nxn)
+        return counter.bits >> 15
 
     def _compress_leaf(self, x, y, size, depth):
-        """Leaf CU: 2Nx2N PU (and NxN alternative at the minimum CU size)."""
-        node = CuNode(x, y, size, depth, split=False)
-        if size > MIN_CU:
-            cost, pu = self._search_pu(x, y, size)
-            node.pus = [pu]
-            self._commit_depth(x, y, size, depth)
-            return cost, node
+        """Leaf CU: 2Nx2N PU (and NxN alternative at the minimum CU size).
 
-        # size == 8: compare 2Nx2N against NxN (four 4x4 PUs).
+        Commits the winner incl. `self.est_ctx` (the post-count state) and
+        returns (bits_int, sse, node)."""
+        cu_ctx = self.est_ctx.copy()               # CI_CURR_BEST
         pre = self._save(x, y, size)
-        counter = rdo.BitCounter()
-        counter.encode_bin(1, self.est_ctx, OFFSETS.part_size)  # 2Nx2N
-        bits_part = counter.frac_bits
-        cost_2n, pu_2n = self._search_pu(x, y, size)
-        cost_2n += self.lam * bits_part
-        state_2n = self._save(x, y, size)
-        self._restore(x, y, size, pre)
+        node = CuNode(x, y, size, depth, split=False)
+        cu_pos = (x, y) if size == MIN_CU else None
+        pu, sse2n = self._search_pu(x, y, size, cu_pos=cu_pos, cu_ctx=cu_ctx)
+        node.pus = [pu]
+        ctx2n = cu_ctx.copy()
+        bits2n = self._count_cu(ctx2n, node)
+        cost2n = sse2n + self.lam * bits2n
+        best = (bits2n, sse2n, node, self._save(x, y, size), ctx2n)
+        best_cost = cost2n
 
-        counter = rdo.BitCounter()
-        counter.encode_bin(0, self.est_ctx, OFFSETS.part_size)  # NxN
-        cost_nxn = self.lam * counter.frac_bits
-        pus = []
-        for (px, py) in ((x, y), (x + 4, y), (x, y + 4), (x + 4, y + 4)):
-            c, pu = self._search_pu(px, py, 4, nxn=True)
-            cost_nxn += c
-            pus.append(pu)
+        if size == MIN_CU and size > 4:
+            self._restore(x, y, size, pre)
+            node_n = CuNode(x, y, size, depth, split=False, part_nxn=True)
+            sse_n = 0
+            for (px, py) in ((x, y), (x + 4, y), (x, y + 4), (x + 4, y + 4)):
+                pu_k, s_k = self._search_pu(px, py, 4, cu_pos=(x, y),
+                                            cu_ctx=cu_ctx, nxn=True)
+                node_n.pus.append(pu_k)
+                sse_n += s_k
+            ctx_n = cu_ctx.copy()
+            bits_n = self._count_cu(ctx_n, node_n)
+            cost_n = sse_n + self.lam * bits_n
+            # NxN replaces 2Nx2N only strictly (xCheckBestMode).
+            if cost_n < best_cost:
+                best = (bits_n, sse_n, node_n, self._save(x, y, size), ctx_n)
+                best_cost = cost_n
 
-        if cost_2n <= cost_nxn:
-            self._restore(x, y, size, state_2n)
-            node.pus = [pu_2n]
-        else:
-            node.part_nxn = True
-            node.pus = pus
+        self._restore(x, y, size, best[3])
+        self.est_ctx = best[4]
         self._commit_depth(x, y, size, depth)
-        return min(cost_2n, cost_nxn), node
+        return best[0], best[1], best[2]
+
+    def compress_cu(self, x, y, size, depth):
+        """Returns (bits_int, sse, cost, CuNode or None); commits the winner.
+
+        Bit totals are integers accumulated exactly as HM's
+        TotalBits/TotalCost chain: whole-CU count, then split-flag bits with
+        their own truncation; split children sum their own totals."""
+        if x >= self.w or y >= self.h:
+            return 0, 0, 0.0, None
+        inside = x + size <= self.w and y + size <= self.h
+        can_split = size > MIN_CU
+        node = CuNode(x, y, size, depth, split=False)
+        ctx_entry = self.est_ctx.copy()
+
+        whole = None
+        if inside:
+            pre = self._save(x, y, size)
+            bits_w, sse_w, node_w = self._compress_leaf(x, y, size, depth)
+            if can_split:
+                # Split-flag bits appended to the whole option
+                # (TEncCu.cpp:795-805; the count mutates NEXT_BEST).
+                c = rdo.BitCounter()
+                c.encode_bin(0, self.est_ctx,
+                             OFFSETS.split_cu + self._split_ctx(x, y, depth))
+                bits_w += c.bits >> 15
+            cost_w = sse_w + self.lam * bits_w
+            whole = (bits_w, sse_w, cost_w, node_w,
+                     self._save(x, y, size), self.est_ctx)
+            if not can_split:
+                return bits_w, sse_w, cost_w, node_w
+            self._restore(x, y, size, pre)
+            self.est_ctx = ctx_entry.copy()
+
+        # Split branch.
+        bits_s, sse_s = 0, 0
+        children = []
+        half = size // 2
+        for (cx, cy) in ((x, y), (x + half, y), (x, y + half),
+                         (x + half, y + half)):
+            b, s, _c, child = self.compress_cu(cx, cy, half, depth + 1)
+            bits_s += b
+            sse_s += s
+            children.append(child)
+        if inside:
+            c = rdo.BitCounter()
+            c.encode_bin(1, self.est_ctx,
+                         OFFSETS.split_cu + self._split_ctx(x, y, depth))
+            bits_s += c.bits >> 15
+        cost_s = sse_s + self.lam * bits_s
+        if whole is None or cost_s < whole[2]:
+            node.split = True
+            node.children = children
+            return bits_s, sse_s, cost_s, node
+        self._restore(x, y, size, whole[4])
+        self.est_ctx = whole[5]
+        return whole[0], whole[1], whole[2], whole[3]
 
     def _commit_depth(self, x, y, size, depth):
         self.depth_map[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = depth
@@ -594,7 +665,7 @@ class FrameEncoder:
         trees = []
         for cy in range(0, self.h, self.ctu):
             for cx in range(0, self.w, self.ctu):
-                _cost, node = self.compress_cu(cx, cy, self.ctu, 0)
+                _bits, _sse, _cost, node = self.compress_cu(cx, cy, self.ctu, 0)
                 trees.append(node)
         if self.deblocking:
             from . import deblock

@@ -57,8 +57,6 @@ def main():
         label = sys.argv[1]
         if label == "tuned":
             kwargs = dict(max_tu_depth=3, rd_candidates={16: 8, 32: 8, 64: 8})
-        elif label == "speedup":
-            kwargs = dict(hm_speedup=True)
         elif label == "depth3":
             kwargs = dict(max_tu_depth=3)
 
