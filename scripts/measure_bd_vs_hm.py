@@ -2,7 +2,12 @@
 
 Both encoders emit standard Annex-B HEVC (ours via codec.hm_encoder), so the
 rates include identical container overhead; both reconstructions are the
-normative HEVC decodes.  rgb_library 384x384 luma, reference 5-QP protocol.
+normative HEVC decodes.  Reference 5-QP protocol.
+
+Usage: measure_bd_vs_hm.py [rgb_library|parkscene]
+  rgb_library: 384x384 luma crop of the reference test photo (default);
+  parkscene:   416x240 luma crop of the ParkScene video frame (the
+               D_BasketballPass-class anchor named in BASELINE.json).
 """
 
 import json
@@ -24,7 +29,9 @@ from context_adaptive_neural_network_based_prediction_tpu.evaluation import (
 from context_adaptive_neural_network_based_prediction_tpu.utils import (
     metrics, yuv)
 
-ENC = "/tmp/hevc/hm_16_15_regular/bin/TAppEncoderStatic"
+from context_adaptive_neural_network_based_prediction_tpu.evaluation import hm_driver as _hd
+
+ENC = _hd.hm_binary("TAppEncoderStatic")
 CFG = "/root/reference/hevc/configuration/intra_main_rext.cfg"
 QPS = [22, 27, 32, 37, 42]
 
@@ -53,8 +60,16 @@ def hm_points(frame):
 
 
 def main():
-    frame = hm_driver.load_luminance(
-        "/root/reference/hevc/pseudo_data/rgb_library.jpg")[:384, :384]
+    which = sys.argv[1] if len(sys.argv) > 1 else "rgb_library"
+    if which == "parkscene":
+        frame = hm_driver.load_luminance(
+            "/root/reference/hevc/visualization/map_intra_prediction_modes/"
+            "readme/luminance_parkscene.png")[400:640, 600:1016]
+        out_path = "artifacts/bd_vs_hm_parkscene_416x240.json"
+    else:
+        frame = hm_driver.load_luminance(
+            "/root/reference/hevc/pseudo_data/rgb_library.jpg")[:384, :384]
+        out_path = "artifacts/bd_vs_hm_nal_exact.json"
     ours = []
     for qp in QPS:
         pt = performance.compute_rate_psnr(frame, qp, use_hm_container=True)
@@ -76,7 +91,7 @@ def main():
            "ours": ours, "hm": hm, "qps": QPS}
     print(json.dumps({k: v for k, v in out.items() if k in
                       ("low", "high", "full")}, indent=1))
-    with open("artifacts/bd_vs_hm_nal_exact.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
 

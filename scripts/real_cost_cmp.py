@@ -55,7 +55,9 @@ def main():
     label = "default"
     if len(sys.argv) > 1:
         label = sys.argv[1]
-        if label == "tuned":
+        if label == "cand8":
+            kwargs = dict(rd_candidates={16: 8, 32: 8, 64: 8})
+        elif label == "tuned":
             kwargs = dict(max_tu_depth=3, rd_candidates={16: 8, 32: 8, 64: 8})
         elif label == "depth3":
             kwargs = dict(max_tu_depth=3)
