@@ -1,0 +1,578 @@
+"""Wavefront v2: fully-jitted CTB-32 device encoder WITH a quadtree.
+
+The v1 wavefront (`wavefront.py`) trades ~26% BD-rate for throughput by
+fixing a uniform 16x16 grid.  v2 keeps the whole-frame-as-one-XLA-program
+design but adds the structure that carries most of HM's efficiency: a CU
+quadtree 32 -> 16 -> 8 decided on device.
+
+Exact-decodability discipline (the NN/codec is normative - SURVEY.md §3.4):
+every candidate's prediction uses exactly the reference samples the decoder
+will derive.  Two mechanisms guarantee this:
+
+* **Static availability/fill tables**: HEVC reference availability depends
+  only on geometry + coding order, so for every (block size, grid position)
+  the full HM fill-with-substitution (ops/reference_samples.py, golden-
+  tested against HM) is run ON AN ID-CODED IMAGE at table-build time,
+  yielding per-position gather maps (source dy/dx per reference sample,
+  or DC).  The device then builds bit-exact reference arrays with one
+  gather - no control flow.
+* **Z-order sub-stages**: inside a CTB the four 16x16 quadrants are
+  processed in z-order; within a quadrant the four 8x8 blocks run strictly
+  sequentially (the z-scan is a dependency chain: z2's above-right segment
+  is z1's bottom row, which HEVC derives as available).  A quadrant's
+  16x16 candidate and
+  the CTB's 32x32 candidate predict from *outside* references only, so
+  structure decisions can overwrite inner reconstruction without breaking
+  any committed reference.  All CTBs on a wavefront anti-diagonal
+  (t = bx + 2*by) run these sub-stages batched.
+
+The host only walks the decided quadtree into CuNode trees and runs the
+shared CABAC serializer: streams decode bit-exactly through the normative
+decoders (own-format and Annex-B HEVC with CTB 32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..codec import encoder as enc_mod
+from ..codec import rdo
+from ..ops import intra, transform
+from ..ops import reference_samples as rs
+
+CTB = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _coding_order8(height: int, width: int):
+    """Coding-order index of every 8x8 cell (CTB raster + z-order inside)."""
+    h8, w8 = height // 8, width // 8
+    order = np.zeros((h8, w8), np.int64)
+    idx = 0
+    for cy in range(0, height, CTB):
+        for cx in range(0, width, CTB):
+            for q in range(4):          # 16x16 quadrants in z-order
+                qx, qy = cx + (q & 1) * 16, cy + (q >> 1) * 16
+                for z in range(4):      # 8x8 cells in z-order
+                    zx, zy = qx + (z & 1) * 8, qy + (z >> 1) * 8
+                    order[zy // 8, zx // 8] = idx
+                    idx += 1
+    return order
+
+
+@functools.lru_cache(maxsize=None)
+def _fill_tables(height: int, width: int, n: int):
+    """Per-position reference-sample gather tables for n x n blocks.
+
+    Returns int32 arrays (nby, nbx, 2, 2n+1): [0] = dy, [1] = dx relative to
+    the block origin, with dy == -(10**4) marking the DC-128 fill.  Built by
+    running the golden-tested host fill on an id-coded image, so the device
+    gather reproduces HM's availability + substitution rules bit-exactly.
+    """
+    order = _coding_order8(height, width)
+    nby, nbx = height // n, width // n
+    # Pixel ids offset past any DC_FILL (=128) value so the fill's DC
+    # substitutions are distinguishable from copied/replicated samples.
+    base = 10 ** 6
+    ids = (np.arange(height, dtype=np.int64)[:, None] * width
+           + np.arange(width, dtype=np.int64)[None, :] + base)
+    sentinel = -(10 ** 4)
+    tab_top = np.zeros((nby, nbx, 2, 2 * n + 1), np.int32)
+    tab_left = np.zeros((nby, nbx, 2, 2 * n + 1), np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            x, y = bx * n, by * n
+            my_ord = order[y // 8, x // 8]
+            coded8 = order < my_ord
+            unit_coded = np.repeat(np.repeat(coded8, 2, 0), 2, 1)  # 4-gran
+            flags = rs.neighbor_unit_flags(unit_coded, x, y, n,
+                                           height, width)
+            ref_top, ref_left = rs.fill_reference_samples(
+                ids, x, y, n, flags)
+            for tab, ref in ((tab_top, ref_top), (tab_left, ref_left)):
+                for i, v in enumerate(np.asarray(ref)):
+                    if v < base:   # DC fill
+                        tab[by, bx, 0, i] = sentinel
+                        tab[by, bx, 1, i] = 0
+                    else:
+                        sy, sx = divmod(int(v) - base, width)
+                        tab[by, bx, 0, i] = sy - y
+                        tab[by, bx, 1, i] = sx - x
+    return tab_top, tab_left
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_wavefront2(height: int, width: int, qp: int):
+    import jax
+    import jax.numpy as jnp
+
+    if height % CTB or width % CTB:
+        raise ValueError("wavefront2 needs frame dims that are multiples "
+                         "of 32 (crop/pad first)")
+    nbx, nby = width // CTB, height // CTB
+    n_steps = (nbx - 1) + 2 * (nby - 1) + 1
+    b_max = min(nby, (nbx + 1) // 2 + 1)
+    lam = rdo.lambda_for_qp(qp)
+    per, rem = qp // 6, qp % 6
+
+    # Per-size constant bundles.
+    size_consts = {}
+    for n in (8, 16, 32):
+        g0, g1, frac, _ = intra._angular_tables(n)
+        use_filt = np.array(
+            [False if m == 1 else
+             min(abs(m - 10), abs(m - 26)) > rs.FILTER_THRESHOLD[n]
+             for m in range(35)])
+        tt, tl = _fill_tables(height, width, n)
+        log2n = n.bit_length() - 1
+        tshift = 15 - 8 - log2n
+        size_consts[n] = dict(
+            g0=g0, g1=g1, frac=frac, use_filt=use_filt,
+            tab_top=tt, tab_left=tl,
+            t_fwd=np.asarray(transform.dct_matrix(n, True), np.int32),
+            t_inv=np.asarray(transform.dct_matrix(n), np.int32),
+            shift1=log2n + 8 + transform.FWD_MATRIX_SHIFT - 15,
+            shift2=log2n + transform.FWD_MATRIX_SHIFT,
+            qbits=14 + per + tshift,
+            qadd=171 << (14 + per + tshift - 9),
+            iq_shift=6 - (tshift + per),
+        )
+    qscale = transform.QUANT_SCALES[rem]
+    iq_scale = transform.INV_QUANT_SCALES[rem]
+
+    # Rough CABAC bit proxies for the structure syntax (calibrated rate
+    # modelling is the next refinement; these only steer decisions).
+    SPLIT_BITS = 1.0
+    PART_BITS = 0.4
+
+    def refs_for(n, recon, by, bx):
+        c = size_consts[n]
+        tt = jnp.asarray(c["tab_top"])[by, bx]
+        tl = jnp.asarray(c["tab_left"])[by, bx]
+        y, x = by * n, bx * n
+
+        def gather(tab):
+            dy, dx = tab[0], tab[1]
+            ok = dy > -(10 ** 4) // 2
+            sy = jnp.clip(y + dy, 0, height - 1)
+            sx = jnp.clip(x + dx, 0, width - 1)
+            return jnp.where(ok, recon[sy, sx], 128)
+
+        return gather(tt), gather(tl)
+
+    def filter_refs(n, ref_top, ref_left):
+        corner = ref_top[0]
+        top = ref_top[1:]
+        left = ref_left[1:]
+        ext_t = jnp.concatenate([left[:1], ref_top])
+        f_top_vals = (ext_t[:-2] + 2 * ext_t[1:-1] + ext_t[2:] + 2) >> 2
+        f_top = jnp.concatenate([f_top_vals[:2 * n], top[2 * n - 1:]])
+        ext_l = jnp.concatenate([top[:1],
+                                 jnp.concatenate([corner[None], left])])
+        f_left_vals = (ext_l[:-2] + 2 * ext_l[1:-1] + ext_l[2:] + 2) >> 2
+        f_left = jnp.concatenate([f_top[:1], f_left_vals[1:2 * n],
+                                  left[2 * n - 1:]])
+        if n == 32:
+            # Strong (bilinear) intra smoothing, normative at 32x32 when
+            # the reference rows are near-linear (TComPattern.cpp:415-470).
+            thr = 1 << 3
+            bl = left[2 * n - 1]
+            tr = top[2 * n - 1]
+            cond = jnp.logical_and(
+                jnp.abs(bl + corner - 2 * left[n - 1]) < thr,
+                jnp.abs(corner + tr - 2 * top[n - 1]) < thr)
+            i = jnp.arange(1, 2 * n)
+            s_top = jnp.concatenate([
+                corner[None],
+                ((2 * n - i) * corner + i * tr + n) >> 6,
+                tr[None]])
+            s_left = jnp.concatenate([
+                corner[None],
+                ((2 * n - i) * corner + i * bl + n) >> 6,
+                bl[None]])
+            f_top = jnp.where(cond, s_top, f_top)
+            f_left = jnp.where(cond, s_left, f_left)
+        return f_top, f_left
+
+    def predict35(n, ref_top, ref_left):
+        c = size_consts[n]
+        comb = jnp.concatenate([ref_top, ref_left])
+        ang = (((32 - jnp.asarray(c["frac"])) * comb[jnp.asarray(c["g0"])]
+                + jnp.asarray(c["frac"]) * comb[jnp.asarray(c["g1"])] + 16)
+               >> 5)
+        if n <= 16:
+            col_adj = (ref_left[1:n + 1] - ref_left[0]) >> 1
+            ang = ang.at[26 - 2, :, 0].set(
+                jnp.clip(ang[26 - 2, :, 0] + col_adj, 0, 255))
+            row_adj = (ref_top[1:n + 1] - ref_top[0]) >> 1
+            ang = ang.at[10 - 2, 0, :].set(
+                jnp.clip(ang[10 - 2, 0, :] + row_adj, 0, 255))
+        top_w = ref_top[1:n + 1]
+        left_w = ref_left[1:n + 1]
+        dc = (jnp.sum(top_w) + jnp.sum(left_w) + n) // (2 * n)
+        dc_blk = jnp.full((n, n), dc, jnp.int32)
+        if n <= 16:
+            dc_blk = dc_blk.at[0, :].set((top_w + 3 * dc + 2) >> 2)
+            dc_blk = dc_blk.at[1:, 0].set((left_w[1:] + 3 * dc + 2) >> 2)
+            dc_blk = dc_blk.at[0, 0].set(
+                (top_w[0] + left_w[0] + 2 * dc + 2) >> 2)
+        s = n.bit_length() - 1
+        T = top_w[None, :]
+        L = left_w[:, None]
+        TR = ref_top[n + 1]
+        BL = ref_left[n + 1]
+        xs = jnp.arange(n)[None, :]
+        ys = jnp.arange(n)[:, None]
+        planar = (((L << s) + n + (xs + 1) * (TR - L))
+                  + ((T << s) + (ys + 1) * (BL - T))) >> (s + 1)
+        return jnp.concatenate([planar[None], dc_blk[None], ang], axis=0)
+
+    def fwd_t(n, resi):
+        c = size_consts[n]
+        t = jnp.asarray(c["t_fwd"])
+        add1 = 1 << (c["shift1"] - 1)
+        add2 = 1 << (c["shift2"] - 1)
+        a = (jnp.einsum("min,kn->mik", resi, t) + add1) >> c["shift1"]
+        hi, lo = a >> 8, a & 255
+        hs = jnp.einsum("ki,mil->mkl", t, hi)
+        ls = jnp.einsum("ki,mil->mkl", t, lo)
+        return (hs + ((ls + add2) >> 8)) >> (c["shift2"] - 8)
+
+    def inv_t(n, coeff):
+        t = jnp.asarray(size_consts[n]["t_inv"])
+        e = jnp.clip((jnp.einsum("ki,mkl->mil", t, coeff) + 64) >> 7,
+                     -32768, 32767)
+        return jnp.clip((jnp.einsum("mik,kn->min", e, t) + (1 << 11)) >> 12,
+                        -32768, 32767)
+
+    def mode_bits_for(mode8, n, by, bx):
+        """MPM-aware mode-bit estimate; neighbour modes at 8-granularity."""
+        y, x = by * n, bx * n
+        y8, x8 = y // 8, x // 8
+        left_mode = jnp.where(x8 > 0, mode8[y8, jnp.maximum(x8 - 1, 0)], 1)
+        above_ok = jnp.logical_and(y8 > 0, (y % CTB) != 0)
+        above_mode = jnp.where(above_ok,
+                               mode8[jnp.maximum(y8 - 1, 0), x8], 1)
+        same = left_mode == above_mode
+        lm, am = left_mode, above_mode
+        mpm_same = jnp.where(
+            lm > 1,
+            jnp.stack([lm, ((lm + 29) % 32) + 2, ((lm - 1) % 32) + 2]),
+            jnp.stack([jnp.int32(0), jnp.int32(1), jnp.int32(26)]))
+        m2 = jnp.where(jnp.logical_and(lm != 0, am != 0), 0,
+                       jnp.where(lm + am < 2, 26, 1))
+        mpms = jnp.where(same, mpm_same, jnp.stack([lm, am, m2]))
+        ids = jnp.arange(35)
+        is0 = ids == mpms[0]
+        ismpm = is0 | (ids == mpms[1]) | (ids == mpms[2])
+        return jnp.where(is0, 2.0, jnp.where(ismpm, 3.0, 6.0))
+
+    def encode_unit(n, frame, recon, mode8, by, bx):
+        """35-mode trial of one n x n unit; returns (cost, mode, rec, q).
+
+        cost = SSE + lambda * (mode + coeff-proxy bits), excluding structure
+        flags (added by the caller per tree option)."""
+        c = size_consts[n]
+        ref_top, ref_left = refs_for(n, recon, by, bx)
+        f_top, f_left = filter_refs(n, ref_top, ref_left)
+        preds_u = predict35(n, ref_top, ref_left)
+        preds_f = predict35(n, f_top, f_left)
+        uf = jnp.asarray(c["use_filt"])[:, None, None]
+        preds = jnp.where(uf, preds_f, preds_u)
+        y, x = by * n, bx * n
+        orig = jax.lax.dynamic_slice(frame, (y, x), (n, n)).astype(jnp.int32)
+        resi = orig[None] - preds
+        coeff = fwd_t(n, resi)
+        mag = (jnp.abs(coeff) * qscale + c["qadd"]) >> c["qbits"]
+        q = jnp.sign(coeff) * mag
+        if c["iq_shift"] > 0:
+            deq = (q * iq_scale + (1 << (c["iq_shift"] - 1))) >> c["iq_shift"]
+        else:
+            deq = (q * iq_scale) << (-c["iq_shift"])
+        deq = jnp.clip(deq, -32768, 32767)
+        rec = jnp.clip(preds + inv_t(n, deq), 0, 255)
+        sse = jnp.sum((rec - orig[None]) ** 2, axis=(1, 2)).astype(jnp.float32)
+        absq = jnp.abs(q).astype(jnp.float32)
+        coeff_bits = jnp.sum(
+            jnp.where(absq > 0, 2.0 * jnp.log2(1.0 + absq) + 1.0, 0.0),
+            axis=(1, 2)) + 4.0
+        cost = sse + lam * (coeff_bits + mode_bits_for(mode8, n, by, bx))
+        best = jnp.argmin(cost).astype(jnp.int32)
+        return cost[best], best, rec[best], q[best]
+
+    def masked_at(by, bx, valid, grid_h):
+        """(row, col) for unit-grid writes, redirected to the scratch row."""
+        return jnp.where(valid, by, grid_h), jnp.where(valid, bx, 0)
+
+    def step(t, state):
+        (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32, q32,
+         s32) = state
+        slots = jnp.arange(b_max)
+        by0 = jnp.maximum(0, -((nbx - 1 - t) // 2))
+        by_ids = by0 + slots
+        bx_ids = t - 2 * by_ids
+        valid = (by_ids < nby) & (bx_ids >= 0) & (bx_ids < nbx)
+        cby = jnp.minimum(by_ids, nby - 1)
+        cbx = jnp.clip(bx_ids, 0, nbx - 1)
+
+        h8, w8 = height // 8, width // 8
+        h16, w16 = height // 16, width // 16
+
+        def commit_rec(recon_, rec, yy, xx, ok):
+            yy = jnp.where(ok, yy, height)
+            xx = jnp.where(ok, xx, 0)
+            return jax.lax.dynamic_update_slice(recon_, rec, (yy, xx))
+
+        qcost = [None] * 4   # decided lambda-cost per quadrant (b_max,)
+
+        for quad in range(4):
+            qdx, qdy = (quad & 1), (quad >> 1)
+            # --- causal 8x8 z-scan: a strict chain (z2's above-right
+            # segment is z1's bottom row, available per HEVC z-order) ---
+            for wave in ((0,), (1,), (2,), (3,)):
+                outs = []
+                for z in wave:
+                    zdx, zdy = (z & 1), (z >> 1)
+
+                    def enc8(slot, zdx=zdx, zdy=zdy, qdx=qdx, qdy=qdy):
+                        b8y = cby[slot] * 4 + qdy * 2 + zdy
+                        b8x = cbx[slot] * 4 + qdx * 2 + zdx
+                        return (encode_unit(8, frame, recon, mode8, b8y, b8x)
+                                + (b8y, b8x))
+
+                    outs.append(jax.vmap(enc8)(slots))
+                for cost, mode, rec, q, b8y, b8x in outs:
+                    def commit8(i, st):
+                        recon_, mode8_, m8_, q8_, c8_ = st
+                        ok = valid[i]
+                        recon_ = commit_rec(recon_, rec[i],
+                                            b8y[i] * 8, b8x[i] * 8, ok)
+                        r, cc = masked_at(b8y[i], b8x[i], ok, h8)
+                        mode8_ = mode8_.at[r, cc].set(mode[i])
+                        m8_ = m8_.at[r, cc].set(mode[i])
+                        q8_ = q8_.at[r, cc].set(q[i])
+                        c8_ = c8_.at[r, cc].set(cost[i])
+                        return recon_, mode8_, m8_, q8_, c8_
+
+                    recon, mode8, m8, q8, c8 = jax.lax.fori_loop(
+                        0, b_max, commit8, (recon, mode8, m8, q8, c8))
+
+            # --- 16x16 candidate for this quadrant ---
+            def enc16(slot, qdx=qdx, qdy=qdy):
+                b16y = cby[slot] * 2 + qdy
+                b16x = cbx[slot] * 2 + qdx
+                return (encode_unit(16, frame, recon, mode8, b16y, b16x)
+                        + (b16y, b16x))
+
+            cost16, mode16, rec16, qq16, b16y, b16x = jax.vmap(enc16)(slots)
+
+            def sum8(slot):
+                b8y = cby[slot] * 4 + qdy * 2
+                b8x = cbx[slot] * 4 + qdx * 2
+                sub = jax.lax.dynamic_slice(c8, (b8y, b8x), (2, 2))
+                return jnp.sum(sub)
+
+            cost8s = jax.vmap(sum8)(slots) + lam * (SPLIT_BITS
+                                                    + 4 * PART_BITS)
+            use16 = cost16 + lam * SPLIT_BITS * 0.0 < cost8s
+            # (split16 flag itself is charged on the 8s side: choosing 16
+            # saves the deeper flags; both options share the depth-1 flag
+            # context so the asymmetric charge above captures the delta.)
+            qcost[quad] = jnp.where(use16, cost16, cost8s)
+
+            def commit16(i, st):
+                recon_, mode8_, m16_, q16_, s16_ = st
+                ok = valid[i]
+                ok16 = jnp.logical_and(ok, use16[i])
+                recon_ = commit_rec(recon_, rec16[i],
+                                    b16y[i] * 16, b16x[i] * 16, ok16)
+                r, cc = masked_at(b16y[i], b16x[i], ok, h16)
+                m16_ = m16_.at[r, cc].set(mode16[i])
+                q16_ = q16_.at[r, cc].set(qq16[i])
+                s16_ = s16_.at[r, cc].set(
+                    jnp.where(use16[i], 0, 1).astype(jnp.int32))
+                # Decided modes at 8-granularity feed later MPMs.
+                r8, c8_0 = masked_at(b16y[i] * 2, b16x[i] * 2, ok16, h8)
+                mfill = jnp.full((2, 2), mode16[i], jnp.int32)
+                mode8_ = jax.lax.dynamic_update_slice(
+                    mode8_, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
+                        mode8_, (r8, c8_0), (2, 2))), (r8, c8_0))
+                return recon_, mode8_, m16_, q16_, s16_
+
+            recon, mode8, m16, q16, s16 = jax.lax.fori_loop(
+                0, b_max, commit16, (recon, mode8, m16, q16, s16))
+
+        # --- 32x32 candidate ---
+        def enc32(slot):
+            return encode_unit(32, frame, recon, mode8, cby[slot], cbx[slot])
+
+        cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
+        cost_quads = (qcost[0] + qcost[1] + qcost[2] + qcost[3]
+                      + lam * SPLIT_BITS)
+        use32 = cost32 < cost_quads
+
+        def commit32(i, st):
+            recon_, mode8_, m32_, q32_, s32_ = st
+            ok = valid[i]
+            ok32 = jnp.logical_and(ok, use32[i])
+            recon_ = commit_rec(recon_, rec32[i],
+                                cby[i] * 32, cbx[i] * 32, ok32)
+            r, cc = masked_at(cby[i], cbx[i], ok, nby)
+            m32_ = m32_.at[r, cc].set(mode32[i])
+            q32_ = q32_.at[r, cc].set(qq32[i])
+            s32_ = s32_.at[r, cc].set(
+                jnp.where(use32[i], 0, 1).astype(jnp.int32))
+            r8, c8_0 = masked_at(cby[i] * 4, cbx[i] * 4, ok32, h8)
+            mfill = jnp.full((4, 4), mode32[i], jnp.int32)
+            mode8_ = jax.lax.dynamic_update_slice(
+                mode8_, jnp.where(ok32, mfill, jax.lax.dynamic_slice(
+                    mode8_, (r8, c8_0), (4, 4))), (r8, c8_0))
+            return recon_, mode8_, m32_, q32_, s32_
+
+        recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
+            0, b_max, commit32, (recon, mode8, m32, q32, s32))
+
+        return (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32,
+                q32, s32)
+
+    @jax.jit
+    def run(frame_u8):
+        frame = frame_u8.astype(jnp.int32)
+        zero = frame[0, 0] * 0
+        h8, w8 = height // 8, width // 8
+        h16, w16 = height // 16, width // 16
+        # Scratch rows at the bottom absorb masked writes: scalar .at sets
+        # need 1 row, block dynamic_update_slice needs room for the largest
+        # update (JAX clamps starts, so short pads would corrupt real rows).
+        recon = jnp.zeros((height + CTB, width), jnp.int32) + zero
+        mode8 = jnp.full((h8 + 4, w8), 1, jnp.int32) + zero
+        m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
+        q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
+        c8 = jnp.zeros((h8 + 1, w8), jnp.float32) + zero.astype(jnp.float32)
+        m16 = jnp.zeros((h16 + 1, w16), jnp.int32) + zero
+        q16 = jnp.zeros((h16 + 1, w16, 16, 16), jnp.int32) + zero
+        c16 = jnp.zeros((h16 + 1, w16), jnp.float32) + zero.astype(jnp.float32)
+        s16 = jnp.zeros((h16 + 1, w16), jnp.int32) + zero
+        m32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
+        q32 = jnp.zeros((nby + 1, nbx, 32, 32), jnp.int32) + zero
+        s32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
+        state = (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32,
+                 q32, s32)
+        state = jax.lax.fori_loop(0, n_steps, step, state)
+        (_f, recon, mode8, m8, q8, _c8, m16, q16, _c16, s16, m32, q32,
+         s32) = state
+        return (recon[:height], m8[:h8], q8[:h8], m16[:h16], q16[:h16],
+                s16[:h16], m32[:nby], q32[:nby], s32[:nby])
+
+    return run
+
+
+def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
+                            serialize: bool = True):
+    """CTB-32 quadtree wavefront encode -> EncodeResult (own bitstream)."""
+    import jax.numpy as jnp
+
+    h, w = frame_uint8.shape
+    run = _jitted_wavefront2(h, w, qp)
+    (recon, m8, q8, m16, q16, s16, m32, q32, s32) = (
+        np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
+
+    trees = []
+    mode_map = np.full((h // 4, w // 4), -1, np.int32)
+
+    def leaf(x, y, n, mode, q):
+        cbf = 1 if q.any() else 0
+        mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
+        pu = enc_mod.PuRecord(x, y, n, int(mode),
+                              [enc_mod.TuRecord(x, y, n, cbf,
+                                                q if cbf else None)])
+        return enc_mod.CuNode(x, y, n, 0, split=False, pus=[pu])
+
+    for by in range(h // CTB):
+        for bx in range(w // CTB):
+            x, y = bx * CTB, by * CTB
+            if not s32[by, bx]:
+                node = leaf(x, y, 32, m32[by, bx], q32[by, bx])
+                node.depth = 0
+                trees.append(node)
+                continue
+            root = enc_mod.CuNode(x, y, 32, 0, split=True)
+            for quad in range(4):
+                qx = x + (quad & 1) * 16
+                qy = y + (quad >> 1) * 16
+                b16y, b16x = qy // 16, qx // 16
+                if not s16[b16y, b16x]:
+                    child = leaf(qx, qy, 16, m16[b16y, b16x],
+                                 q16[b16y, b16x])
+                    child.depth = 1
+                else:
+                    child = enc_mod.CuNode(qx, qy, 16, 1, split=True)
+                    for z in range(4):
+                        zx = qx + (z & 1) * 8
+                        zy = qy + (z >> 1) * 8
+                        g = leaf(zx, zy, 8, m8[zy // 8, zx // 8],
+                                 q8[zy // 8, zx // 8])
+                        g.depth = 2
+                        child.children.append(g)
+                root.children.append(child)
+            trees.append(root)
+
+    bitstream = b""
+    if serialize:
+        bitstream = enc_mod.serialize_trees(
+            trees, width=w, height=h, qp=qp, policy="regular", ctu_size=CTB,
+            sign_hiding=False)
+    return enc_mod.EncodeResult(
+        bitstream=bitstream,
+        reconstruction=recon.astype(np.uint8),
+        num_bits=len(bitstream) * 8,
+        ctu_trees=trees,
+        mode_map=mode_map,
+        qp=qp,
+        policy="regular",
+    )
+
+
+def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
+                               loop_filters: bool = True):
+    """Wavefront-v2 device encode -> standard Annex-B HEVC stream (CTB 32).
+
+    Deblock + SAO are normative post-passes for All-Intra; decoded-picture-
+    hash SEI embedded.  Returns (annexb_stream, EncodeResult)."""
+    from ..codec import deblock, hm_encoder
+    from ..codec import sao as sao_mod
+
+    res = encode_frame_wavefront2(frame_uint8, qp, serialize=False)
+    h, w = frame_uint8.shape
+    sao_grid = None
+    if loop_filters:
+        uh, uw = h // 4, w // 4
+        # Unit-granular TU ids from the decided tree (deblock edge rule).
+        tu_ids = np.zeros((uh, uw), np.int32)
+        tid = 0
+        for node in res.ctu_trees:
+            stack = [node]
+            while stack:
+                nd = stack.pop()
+                if nd.split:
+                    stack.extend(nd.children)
+                    continue
+                for pu in nd.pus:
+                    for tu in pu.tus:
+                        tu_ids[tu.y // 4:(tu.y + tu.n) // 4,
+                               tu.x // 4:(tu.x + tu.n) // 4] = tid
+                        tid += 1
+        final = deblock.deblock_luma(res.reconstruction, tu_ids, qp)
+        lam = rdo.lambda_for_qp(qp)
+        sao_grid = sao_mod.estimate_frame(frame_uint8, final, CTB, lam)
+        final = sao_mod.apply_sao(final, sao_grid, CTB)
+        res.reconstruction = final
+    stream = hm_encoder.assemble_hm_stream(
+        res, sao_enabled=loop_filters, deblocking=loop_filters,
+        sign_hiding=False, transform_skip=False, max_tu_depth=0,
+        sao_grid=sao_grid, ctu_size=CTB)
+    res.bitstream = stream
+    res.num_bits = len(stream) * 8
+    return stream, res

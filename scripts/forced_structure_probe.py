@@ -29,7 +29,7 @@ from context_adaptive_neural_network_based_prediction_tpu.evaluation import \
     hm_driver
 from context_adaptive_neural_network_based_prediction_tpu.utils import yuv
 
-QP = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+QP = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 32
 
 
 def hm_encode(frame, qp):

@@ -6,7 +6,7 @@ import jax
 
 from context_adaptive_neural_network_based_prediction_tpu.codec import decoder
 from context_adaptive_neural_network_based_prediction_tpu.parallel import (
-    mesh as mesh_mod, sharded_training, tiled, wavefront)
+    mesh as mesh_mod, sharded_training, tiled, wavefront, wavefront2)
 from context_adaptive_neural_network_based_prediction_tpu.utils import metrics
 
 
@@ -47,6 +47,45 @@ class TestWavefront:
         frame = np.full((32, 32), 77, np.uint8)
         res = wavefront.encode_frame_wavefront(frame, 22)
         assert metrics.compute_psnr(frame, res.reconstruction) > 45
+
+
+class TestWavefront2:
+    def test_decoder_bit_exact_and_tree_used(self):
+        # High-frequency texture forces 8/16 splits; smooth area keeps 32s.
+        rng = np.random.default_rng(3)
+        frame = natural(64, 96, seed=3)
+        frame[:32, :32] = rng.integers(0, 256, (32, 32))
+        res = wavefront2.encode_frame_wavefront2(frame, 32)
+        dec = decoder.decode_frame(res.bitstream)
+        np.testing.assert_array_equal(res.reconstruction, dec.reconstruction)
+        sizes = set()
+        stack = list(res.ctu_trees)
+        while stack:
+            nd = stack.pop()
+            if nd.split:
+                stack.extend(nd.children)
+            else:
+                sizes.add(nd.size)
+        assert 32 in sizes and 8 in sizes, sizes
+
+    def test_hm_stream_hash_ok(self):
+        from context_adaptive_neural_network_based_prediction_tpu.codec import (
+            hm_decoder)
+
+        frame = natural(64, 64, seed=4)
+        stream, _res = wavefront2.encode_frame_wavefront2_hm(frame, 32)
+        hd = hm_decoder.decode_hm_stream(stream)
+        assert hd.hash_checked and hd.hash_ok
+
+    def test_beats_v1_rate_on_smooth_content(self):
+        # The quadtree merges smooth areas into 32-CUs: fewer bits than the
+        # fixed 16-grid at equal-or-better quality on low-detail frames.
+        yy, xx = np.mgrid[0:64, 0:96]
+        frame = np.clip(128 + 30 * np.sin(xx / 40.0) + 20 * np.cos(yy / 50.0),
+                        0, 255).astype(np.uint8)
+        r1 = wavefront.encode_frame_wavefront(frame, 32)
+        r2 = wavefront2.encode_frame_wavefront2(frame, 32)
+        assert len(r2.bitstream) < len(r1.bitstream)
 
 
 class TestTiled:
