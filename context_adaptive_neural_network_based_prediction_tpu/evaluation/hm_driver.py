@@ -50,8 +50,9 @@ def hm_binary(name: str) -> Optional[str]:
     if os.environ.get("HM_BIN_DIR"):
         candidates.append(os.path.join(os.environ["HM_BIN_DIR"], name))
     candidates.append(f"/tmp/hevc/hm_16_15_regular/bin/{name}")
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))))
+    # __file__ = <repo>/context_.../evaluation/hm_driver.py -> three dirnames.
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     candidates.append(os.path.join(repo_root, "artifacts", "hm_bin", name))
     for path in candidates:
         if os.path.isfile(path) and os.access(path, os.X_OK):

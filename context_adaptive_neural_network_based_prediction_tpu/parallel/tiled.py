@@ -7,9 +7,14 @@ over a mesh axis; every device runs the fully-jitted wavefront encoder on its
 stripe via `shard_map` (refs unavailable across the tile boundary, exactly
 like HM tiles), and the host concatenates per-tile CABAC payloads.
 
-Cross-tile causal halo exchange (boundary rows over ICI with `ppermute`,
-removing the tile-boundary prediction break) is the planned refinement - the
-entry point and sharding layout are already tile-count agnostic.
+`encode_frame_tiled_halo` removes the tile-boundary prediction break: the
+stripes run on the single global wavefront schedule and exchange their
+boundary reconstruction rows over ICI with `ppermute` after every step, so
+the sharded encode equals the single-device wavefront BIT-EXACTLY (modes,
+levels, reconstruction, and therefore the serialized stream) - the
+framework's context-parallel/halo analog (SURVEY.md §2.4 last row, §5).
+`encode_frame_tiled` keeps the independent-stripe mode (HM tile semantics,
+no cross-tile traffic).
 """
 
 from __future__ import annotations
@@ -44,6 +49,51 @@ def encode_frame_tiled(frame_uint8: np.ndarray, qp: int, mesh, *,
     def per_tile(tile):
         tile = tile.reshape(tile_h, w)
         recon, modes, qcoeffs = run(tile)
+        return recon[None], modes[None], qcoeffs[None]
+
+    sharded = shard_map(
+        per_tile, mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None, None), P(axis, None, None),
+                   P(axis, None, None, None, None)),
+    )
+    frame_dev = jax.device_put(
+        jnp.asarray(frame_uint8), NamedSharding(mesh, P(axis, None)))
+    recon_t, modes_t, qcoeffs_t = jax.jit(sharded)(frame_dev)
+    recon = np.asarray(recon_t).reshape(h, w)
+    modes = np.asarray(modes_t).reshape(h // n, w // n)
+    qcoeffs = np.asarray(qcoeffs_t).reshape(h // n, w // n, n, n)
+    return recon.astype(np.uint8), modes, qcoeffs
+
+
+def encode_frame_tiled_halo(frame_uint8: np.ndarray, qp: int, mesh, *,
+                            block_size: int = 16, axis: str = "data"):
+    """Sharded wavefront encode with cross-tile causal halo exchange.
+
+    Bit-exact vs the single-device wavefront: stripes follow the global
+    t = bx + 2*by schedule (stripe d offset by 2*d*nby steps) and ppermute
+    their bottom reconstructed pixel row down the mesh after every step.
+    Returns (reconstruction, modes, qcoeffs) with the same values
+    `wavefront.encode_frame_wavefront` produces for the whole frame.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h, w = frame_uint8.shape
+    n = block_size
+    n_tiles = mesh.shape[axis]
+    if h % (n_tiles * n) or w % n:
+        raise ValueError(
+            "frame height must split into tile stripes of whole blocks")
+    tile_h = h // n_tiles
+
+    run = wavefront._jitted_wavefront(tile_h, w, n, qp,
+                                      halo_axis=axis, n_tiles=n_tiles)
+
+    def per_tile(tile):
+        recon, modes, qcoeffs = run(tile.reshape(tile_h, w))
         return recon[None], modes[None], qcoeffs[None]
 
     sharded = shard_map(

@@ -35,13 +35,27 @@ from ..ops.reference_samples import FILTER_THRESHOLD
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_wavefront(height: int, width: int, n: int, qp: int):
+def _jitted_wavefront(height: int, width: int, n: int, qp: int,
+                      halo_axis: str | None = None, n_tiles: int = 1):
+    """Builds the jitted wavefront encoder for one frame (or tile stripe).
+
+    With `halo_axis`/`n_tiles` set, the returned fn is meant to run inside
+    `shard_map` over that mesh axis: each device encodes a `height`-tall
+    stripe on the GLOBAL wavefront schedule (device d's stripe is offset by
+    2*d*nby steps) and after every step `ppermute`s its bottom reconstructed
+    pixel row to the next stripe, whose blocks read it as their above
+    reference exactly like the single-device encoder reads row y-1.  The
+    cross-tile prediction therefore matches the unsharded wavefront
+    bit-exactly (asserted in tests) - this is the framework's CP/halo
+    analog over ICI (SURVEY.md §2.4 last row).
+    """
     import jax
     import jax.numpy as jnp
 
     nbx, nbh = width // n, height // n
     nby = nbh
-    n_steps = (nbx - 1) + 2 * (nby - 1) + 1
+    top = 1 if halo_axis else 0          # halo pixel row above the stripe
+    n_steps = (nbx - 1) + 2 * (nby * n_tiles - 1) + 1
     b_max = min(nby, (nbx + 1) // 2 + 1)
     lam = rdo.lambda_for_qp(qp)
 
@@ -66,15 +80,18 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
     iq_shift = 6 - (tshift + per)
     iq_scale = transform.INV_QUANT_SCALES[rem]
 
-    def build_refs(recon, x, y, bx, by):
-        """HM reference construction for the uniform raster grid (int32)."""
+    def build_refs(recon, x, y, bx, by, has_halo):
+        """HM reference construction for the uniform raster grid (int32).
+
+        `recon` rows are offset by `top` (halo row 0 holds the bottom pixel
+        row of the stripe above when running tiled)."""
         # Clamped gathers.
         cols = jnp.clip(x - 1 + jnp.arange(2 * n + 1), 0, width - 1)
-        top_raw = recon[jnp.clip(y - 1, 0, height - 1), cols]          # (2n+1,)
-        rows = jnp.clip(y + jnp.arange(2 * n), 0, height - 1)
+        top_raw = recon[jnp.clip(y - 1 + top, 0, height - 1 + top), cols]
+        rows = jnp.clip(y + jnp.arange(2 * n) + top, 0, height - 1 + top)
         left_raw = recon[rows, jnp.clip(x - 1, 0, width - 1)]          # (2n,)
 
-        has_above = by > 0
+        has_above = jnp.logical_or(by > 0, has_halo)
         has_left = bx > 0
         has_ar = jnp.logical_and(has_above, bx < nbx - 1)
 
@@ -167,10 +184,10 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
         return jnp.clip((jnp.einsum("mik,kn->min", e, t) + iadd2) >> ishift2,
                         -32768, 32767)
 
-    def encode_block(frame, recon, modes, bx, by, valid):
+    def encode_block(frame, recon, modes, bx, by, valid, has_halo):
         x = bx * n
         y = by * n
-        ref_top, ref_left = build_refs(recon, x, y, bx, by)
+        ref_top, ref_left = build_refs(recon, x, y, bx, by, has_halo)
         f_top, f_left = filter_refs(ref_top, ref_left)
         preds_u = predict35(ref_top, ref_left)
         preds_f = predict35(f_top, f_left)
@@ -221,17 +238,25 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
 
     def step(t, state):
         frame, recon, modes, qcoeffs = state
+        if halo_axis is not None:
+            d = jax.lax.axis_index(halo_axis)
+            t_loc = t - 2 * nby * d       # global schedule, stripe offset
+            has_halo = d > 0
+        else:
+            t_loc = t
+            has_halo = jnp.bool_(False)
         slots = jnp.arange(b_max)
         # Blocks on step t: by in [max(0, ceil((t - nbx + 1)/2)), t//2].
-        by0 = jnp.maximum(0, -((nbx - 1 - t) // 2))
+        by0 = jnp.maximum(0, -((nbx - 1 - t_loc) // 2))
         by_ids = by0 + slots
-        bx_ids = t - 2 * by_ids
+        bx_ids = t_loc - 2 * by_ids
         valid = (by_ids < nby) & (bx_ids >= 0) & (bx_ids < nbx)
 
         def one(slot):
             b_y = jnp.minimum(by_ids[slot], nby - 1)
             b_x = jnp.clip(bx_ids[slot], 0, nbx - 1)
-            return encode_block(frame, recon, modes, b_x, b_y, valid[slot])
+            return encode_block(frame, recon, modes, b_x, b_y, valid[slot],
+                                has_halo)
 
         bests, recs, qs, xs, ys = jax.vmap(one)(slots)
 
@@ -239,7 +264,7 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
             # Branchless (shard_map-friendly): invalid slots write into the
             # scratch pad row appended below the frame / block grids.
             recon_, modes_, qcoeffs_ = st
-            yy = jnp.where(valid[i], ys[i], height)
+            yy = jnp.where(valid[i], ys[i] + top, height + top)
             xx = jnp.where(valid[i], xs[i], 0)
             recon_ = jax.lax.dynamic_update_slice(recon_, recs[i], (yy, xx))
             brow = jnp.where(valid[i], ys[i] // n, nby)
@@ -250,24 +275,34 @@ def _jitted_wavefront(height: int, width: int, n: int, qp: int):
 
         recon, modes, qcoeffs = jax.lax.fori_loop(
             0, b_max, commit, (recon, modes, qcoeffs))
+        if halo_axis is not None:
+            # Causal halo over ICI: each stripe's (partially coded) bottom
+            # pixel row flows to the stripe below, which needs column x only
+            # two global steps after it is produced - one-step ppermute
+            # latency is always in time.
+            bottom = recon[height - 1 + top]
+            recv = jax.lax.ppermute(
+                bottom, halo_axis, [(i, i + 1) for i in range(n_tiles - 1)])
+            d = jax.lax.axis_index(halo_axis)
+            recon = recon.at[0].set(jnp.where(d == 0, recon[0], recv))
         return frame, recon, modes, qcoeffs
 
-    @jax.jit
     def run(frame_u8):
         frame = frame_u8.astype(jnp.int32)
-        # One scratch pad row below the frame / block grids for masked writes.
-        # Buffers are derived from `frame` so that under shard_map they carry
-        # the same varying manual axes as the input tile.
+        # One scratch pad row below the frame / block grids for masked
+        # writes (+ the top halo row when tiled).  Buffers are derived from
+        # `frame` so that under shard_map they carry the same varying manual
+        # axes as the input tile.
         zero = frame[0, 0] * 0
-        recon = jnp.zeros((height + n, width), jnp.int32) + zero
+        recon = jnp.zeros((top + height + n, width), jnp.int32) + zero
         modes = jnp.full((nby + 1, nbx), -1, jnp.int32) + zero
         qcoeffs = jnp.zeros((nby + 1, nbx, n, n), jnp.int32) + zero
         state = (frame, recon, modes, qcoeffs)
         state = jax.lax.fori_loop(0, n_steps, step, state)
         _, recon, modes, qcoeffs = state
-        return recon[:height], modes[:nby], qcoeffs[:nby]
+        return recon[top:height + top], modes[:nby], qcoeffs[:nby]
 
-    return run
+    return run if halo_axis is not None else jax.jit(run)
 
 
 @functools.lru_cache(maxsize=None)

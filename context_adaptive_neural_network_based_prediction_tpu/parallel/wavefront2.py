@@ -41,6 +41,7 @@ from ..codec import encoder as enc_mod
 from ..codec import rdo
 from ..ops import intra, transform
 from ..ops import reference_samples as rs
+from . import rate_model
 
 CTB = 32
 
@@ -104,7 +105,8 @@ def _fill_tables(height: int, width: int, n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_wavefront2(height: int, width: int, qp: int):
+def _jitted_wavefront2(height: int, width: int, qp: int,
+                       lam_scale: float = 1.0):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +116,10 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
     nbx, nby = width // CTB, height // CTB
     n_steps = (nbx - 1) + 2 * (nby - 1) + 1
     b_max = min(nby, (nbx + 1) // 2 + 1)
-    lam = rdo.lambda_for_qp(qp)
+    # lam_scale compensates the static rate model's systematic underestimate
+    # of real CABAC bits (no context adaptation): decisions use a stiffer
+    # lambda so the operating point lands on HM's rate.
+    lam = rdo.lambda_for_qp(qp) * lam_scale
     per, rem = qp // 6, qp % 6
 
     # Per-size constant bundles.
@@ -128,6 +133,12 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
         tt, tl = _fill_tables(height, width, n)
         log2n = n.bit_length() - 1
         tshift = 15 - 8 - log2n
+        sig0, sig1 = rate_model.sig_bits_tables(qp, n)
+        lastx, lasty = rate_model.last_bits_tables(qp, n)
+        sgather, mode_scan = rate_model.scan_tables(n)
+        inv_gather = np.empty_like(sgather)
+        for st in range(3):
+            inv_gather[st, sgather[st]] = np.arange(n * n, dtype=np.int32)
         size_consts[n] = dict(
             g0=g0, g1=g1, frac=frac, use_filt=use_filt,
             tab_top=tt, tab_left=tl,
@@ -136,16 +147,21 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
             shift1=log2n + 8 + transform.FWD_MATRIX_SHIFT - 15,
             shift2=log2n + transform.FWD_MATRIX_SHIFT,
             qbits=14 + per + tshift,
-            qadd=171 << (14 + per + tshift - 9),
             iq_shift=6 - (tshift + per),
+            err_scale=float(2.0 ** (-2.0 * tshift)
+                            / float(transform.QUANT_SCALES[rem]) ** 2),
+            # Scan-domain rate tables, pre-gathered per mode: (35, n*n).
+            sig0=sig0[mode_scan], sig1=sig1[mode_scan],
+            lastx=lastx, lasty=lasty,
+            sg=sgather[mode_scan], inv_sg=inv_gather[mode_scan],
         )
     qscale = transform.QUANT_SCALES[rem]
     iq_scale = transform.INV_QUANT_SCALES[rem]
 
-    # Rough CABAC bit proxies for the structure syntax (calibrated rate
-    # modelling is the next refinement; these only steer decisions).
-    SPLIT_BITS = 1.0
-    PART_BITS = 0.4
+    # Structure/mode syntax bits from the HM context-init states at this QP
+    # (rate_model docstring; exact CABAC packing happens on the host).
+    SB = rate_model.scalar_bits(qp)
+    MODE_BITS = rate_model.mode_bits_table(qp)
 
     def refs_for(n, recon, by, bx):
         c = size_consts[n]
@@ -267,13 +283,111 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
         ids = jnp.arange(35)
         is0 = ids == mpms[0]
         ismpm = is0 | (ids == mpms[1]) | (ids == mpms[2])
-        return jnp.where(is0, 2.0, jnp.where(ismpm, 3.0, 6.0))
+        return jnp.where(is0, MODE_BITS[0],
+                         jnp.where(ismpm, MODE_BITS[1], MODE_BITS[3]))
+
+    def level_bits(lvl):
+        """Context-init-calibrated bits of a nonzero level (sign included).
+
+        greater1/greater2 flags + the HM Golomb-Rice escape at rice 0
+        (syntax._ic_rate structure with c1/c2 available, EG0 tail)."""
+        s = lvl - 3
+        lf = jnp.maximum(s, 1).astype(jnp.float32)
+        golomb = jnp.where(
+            s < 3, s.astype(jnp.float32) + 1.0,
+            4.0 + 2.0 * jnp.floor(jnp.log2(jnp.maximum(lf - 2.0, 1.0))))
+        return 1.0 + jnp.where(
+            lvl == 1, SB["g1_0"],
+            jnp.where(lvl == 2, SB["g1_1"] + SB["g2_0"],
+                      SB["g1_1"] + SB["g2_1"] + golomb))
+
+    def quantize_rd(n, coeff):
+        """Vectorized RDOQ-lite + structure-aware TU rate.
+
+        Per-coefficient level choice among {round-half-up, -1, 0} minimizing
+        coeff-domain distortion + lambda*bits (HM xGetCodedLevel's candidate
+        set), then an all-zero CBF trade-off with last-position /
+        coded-sub-block / sig-flag accounting in scan order.  Returns
+        (q raster (35,n,n), tu_bits (35,)).
+        """
+        c = size_consts[n]
+        N = n * n
+        qstep = float(2.0 ** c["qbits"])
+        sg = jnp.asarray(c["sg"])
+        inv_sg = jnp.asarray(c["inv_sg"])
+        sig0 = jnp.asarray(c["sig0"])
+        sig1 = jnp.asarray(c["sig1"])
+        flat = coeff.reshape(35, N)
+        cs = jnp.take_along_axis(flat, sg, axis=1)        # scan order
+        sign = jnp.sign(cs)
+        ldf = jnp.abs(cs).astype(jnp.float32) * float(qscale)
+        ma = jnp.minimum(jnp.floor(ldf / qstep + 0.5), 32767.0)
+        lo = jnp.maximum(ma - 1.0, 1.0)
+
+        def coded_cost(lvl):
+            err = ldf - lvl * qstep
+            return (err * err * c["err_scale"]
+                    + lam * (sig1 + level_bits(lvl.astype(jnp.int32))))
+
+        d0 = ldf * ldf * c["err_scale"]
+        cost0 = d0 + lam * sig0
+        cost_hi = coded_cost(ma)
+        cost_lo = coded_cost(lo)
+        pick_lo = cost_lo < cost_hi
+        lvl_nz = jnp.where(pick_lo, lo, ma)
+        cost_nz = jnp.where(pick_lo, cost_lo, cost_hi)
+        nz = jnp.logical_and(ma > 0, cost_nz < cost0)
+        lvl = jnp.where(nz, lvl_nz, 0.0).astype(jnp.int32)
+
+        # Structure-aware TU rate of the decided levels.
+        i = jnp.arange(N)
+        last = jnp.max(jnp.where(lvl > 0, i[None], -1), axis=1)    # (35,)
+        cbf = last >= 0
+        sig_paid = i[None] < last[:, None]
+        ncg = max(N // 16, 1)
+        if ncg > 1:
+            cgnz = jnp.any((lvl > 0).reshape(35, ncg, 16), axis=2)
+            lastcg = last >> 4
+            cgi = jnp.arange(ncg)
+            csb_paid = jnp.logical_and(cgi[None] > 0,
+                                       cgi[None] < lastcg[:, None])
+            csb_bits = jnp.sum(
+                jnp.where(csb_paid,
+                          jnp.where(cgnz, SB["csb1"], SB["csb0"]), 0.0),
+                axis=1)
+            cg_coded = (cgi[None] == 0) | (cgi[None] == lastcg[:, None]) \
+                | cgnz
+            sig_paid = jnp.logical_and(
+                sig_paid, jnp.repeat(cg_coded, 16, axis=1))
+        else:
+            csb_bits = jnp.zeros((35,), jnp.float32)
+        sig_bits = jnp.sum(
+            jnp.where(sig_paid,
+                      jnp.where(lvl > 0, sig1, sig0), 0.0), axis=1)
+        lvl_bits = jnp.sum(jnp.where(lvl > 0, level_bits(lvl), 0.0), axis=1)
+        last_raster = jnp.take_along_axis(
+            sg, jnp.maximum(last, 0)[:, None], axis=1)[:, 0]
+        lb = (jnp.asarray(c["lastx"])[last_raster % n]
+              + jnp.asarray(c["lasty"])[last_raster // n])
+        bits_coded = SB["cbf1"] + lb + csb_bits + sig_bits + lvl_bits
+        # All-zero option: compare in the coeff-distortion domain.
+        d_coded = jnp.sum(jnp.where(lvl > 0,
+                                    (ldf - lvl.astype(jnp.float32) * qstep)
+                                    ** 2 * c["err_scale"], d0), axis=1)
+        zero_cost = jnp.sum(d0, axis=1) + lam * SB["cbf0"]
+        keep = jnp.logical_and(
+            cbf, d_coded + lam * bits_coded < zero_cost)
+        lvl = jnp.where(keep[:, None], lvl, 0)
+        tu_bits = jnp.where(keep, bits_coded, SB["cbf0"])
+        q_scan = sign * lvl
+        q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(35, n, n)
+        return q, tu_bits
 
     def encode_unit(n, frame, recon, mode8, by, bx):
         """35-mode trial of one n x n unit; returns (cost, mode, rec, q).
 
-        cost = SSE + lambda * (mode + coeff-proxy bits), excluding structure
-        flags (added by the caller per tree option)."""
+        cost = SSE + lambda * (mode + calibrated TU bits), excluding
+        structure flags (added by the caller per tree option)."""
         c = size_consts[n]
         ref_top, ref_left = refs_for(n, recon, by, bx)
         f_top, f_left = filter_refs(n, ref_top, ref_left)
@@ -285,8 +399,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
         orig = jax.lax.dynamic_slice(frame, (y, x), (n, n)).astype(jnp.int32)
         resi = orig[None] - preds
         coeff = fwd_t(n, resi)
-        mag = (jnp.abs(coeff) * qscale + c["qadd"]) >> c["qbits"]
-        q = jnp.sign(coeff) * mag
+        q, tu_bits = quantize_rd(n, coeff)
         if c["iq_shift"] > 0:
             deq = (q * iq_scale + (1 << (c["iq_shift"] - 1))) >> c["iq_shift"]
         else:
@@ -294,11 +407,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
         deq = jnp.clip(deq, -32768, 32767)
         rec = jnp.clip(preds + inv_t(n, deq), 0, 255)
         sse = jnp.sum((rec - orig[None]) ** 2, axis=(1, 2)).astype(jnp.float32)
-        absq = jnp.abs(q).astype(jnp.float32)
-        coeff_bits = jnp.sum(
-            jnp.where(absq > 0, 2.0 * jnp.log2(1.0 + absq) + 1.0, 0.0),
-            axis=(1, 2)) + 4.0
-        cost = sse + lam * (coeff_bits + mode_bits_for(mode8, n, by, bx))
+        cost = sse + lam * (tu_bits + mode_bits_for(mode8, n, by, bx))
         best = jnp.argmin(cost).astype(jnp.int32)
         return cost[best], best, rec[best], q[best]
 
@@ -374,13 +483,13 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
                 sub = jax.lax.dynamic_slice(c8, (b8y, b8x), (2, 2))
                 return jnp.sum(sub)
 
-            cost8s = jax.vmap(sum8)(slots) + lam * (SPLIT_BITS
-                                                    + 4 * PART_BITS)
-            use16 = cost16 + lam * SPLIT_BITS * 0.0 < cost8s
-            # (split16 flag itself is charged on the 8s side: choosing 16
-            # saves the deeper flags; both options share the depth-1 flag
-            # context so the asymmetric charge above captures the delta.)
-            qcost[quad] = jnp.where(use16, cost16, cost8s)
+            # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs pay
+            # split1 + a 2Nx2N part_size flag each (min-CU-size signalling).
+            cost8s = jax.vmap(sum8)(slots) + lam * (
+                SB["split1"] + 4 * SB["part_2nx2n"])
+            cost16f = cost16 + lam * SB["split0"]
+            use16 = cost16f < cost8s
+            qcost[quad] = jnp.where(use16, cost16f, cost8s)
 
             def commit16(i, st):
                 recon_, mode8_, m16_, q16_, s16_ = st
@@ -410,8 +519,8 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
 
         cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
         cost_quads = (qcost[0] + qcost[1] + qcost[2] + qcost[3]
-                      + lam * SPLIT_BITS)
-        use32 = cost32 < cost_quads
+                      + lam * SB["split1"])
+        use32 = cost32 + lam * SB["split0"] < cost_quads
 
         def commit32(i, st):
             recon_, mode8_, m32_, q32_, s32_ = st
@@ -470,12 +579,12 @@ def _jitted_wavefront2(height: int, width: int, qp: int):
 
 
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
-                            serialize: bool = True):
+                            serialize: bool = True, lam_scale: float = 1.0):
     """CTB-32 quadtree wavefront encode -> EncodeResult (own bitstream)."""
     import jax.numpy as jnp
 
     h, w = frame_uint8.shape
-    run = _jitted_wavefront2(h, w, qp)
+    run = _jitted_wavefront2(h, w, qp, lam_scale)
     (recon, m8, q8, m16, q16, s16, m32, q32, s32) = (
         np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
 
@@ -536,7 +645,8 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
 
 
 def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
-                               loop_filters: bool = True):
+                               loop_filters: bool = True,
+                               lam_scale: float = 1.0):
     """Wavefront-v2 device encode -> standard Annex-B HEVC stream (CTB 32).
 
     Deblock + SAO are normative post-passes for All-Intra; decoded-picture-
@@ -544,7 +654,8 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
     from ..codec import deblock, hm_encoder
     from ..codec import sao as sao_mod
 
-    res = encode_frame_wavefront2(frame_uint8, qp, serialize=False)
+    res = encode_frame_wavefront2(frame_uint8, qp, serialize=False,
+                                  lam_scale=lam_scale)
     h, w = frame_uint8.shape
     sao_grid = None
     if loop_filters:

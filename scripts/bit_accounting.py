@@ -75,6 +75,9 @@ def instrument(tally):
 
     def trm(self):
         v = orig_trm(self)
+        # Fixed approximation for the terminate bin: true cost is
+        # -log2(1 - 2/range) from the live decoder state, ~0.01-0.1 bits;
+        # one trm fires per CTU so the total error is <1 bit/stream.
         tally.add(0.05)
         return v
 

@@ -108,6 +108,36 @@ class TestTiled:
         recon, _, _ = tiled.encode_frame_tiled(frame, 27, m)
         assert metrics.compute_psnr(frame, recon) > 33
 
+    @pytest.mark.parametrize("n_tiles", [2, 4])
+    def test_halo_exchange_bit_exact(self, n_tiles):
+        """ppermute halo path == single-device wavefront, bit for bit.
+
+        The sharded stripes exchange boundary reconstruction rows every
+        global step; modes, levels, and reconstruction must all match the
+        unsharded encode exactly (VERDICT round-1 item 3)."""
+        m = mesh_mod.make_mesh({"data": n_tiles})
+        frame = natural(n_tiles * 32, 96, seed=7)
+        recon, modes, qcoeffs = tiled.encode_frame_tiled_halo(frame, 32, m)
+        run = wavefront._jitted_wavefront(frame.shape[0], 96, 16, 32)
+        import jax.numpy as jnp
+
+        r_s, m_s, q_s = (np.asarray(a) for a in run(jnp.asarray(frame)))
+        np.testing.assert_array_equal(recon, r_s)
+        np.testing.assert_array_equal(modes, m_s)
+        np.testing.assert_array_equal(qcoeffs, q_s)
+
+    def test_halo_beats_independent_tiles(self):
+        """Halo exchange removes the stripe-boundary prediction restart, so
+        at equal level-decisions its recon can only match the single-device
+        encode; independent tiles diverge from it at the boundary."""
+        m = mesh_mod.make_mesh({"data": 4})
+        frame = natural(4 * 32, 64, seed=8)
+        halo, _, _ = tiled.encode_frame_tiled_halo(frame, 32, m)
+        indep, _, _ = tiled.encode_frame_tiled(frame, 32, m)
+        solo = wavefront.encode_frame_wavefront(frame, 32, serialize=False)
+        assert np.array_equal(halo, solo.reconstruction)
+        assert not np.array_equal(indep, solo.reconstruction)
+
 
 class TestShardedTraining:
     def test_fc_step_runs_dp_tp(self):
