@@ -143,11 +143,14 @@ class PnnPredictor:
             return np.zeros((n, n), dtype=np.int32)
         mean = self.bundle.mean_for(n)
         above, left = extract_context(recon, x, y, n, flags, mean)
+        return self._forward(above, left, n, mean, (x, y))
+
+    def _forward(self, above, left, n, mean, pos) -> np.ndarray:
         # The cache key fingerprints the *context pixels*, not just the
         # position: during RDO the same TU position is predicted under
         # different neighbouring reconstructions (e.g. interior TUs of a
         # 64x64 PU across candidate modes).
-        key = (x, y, n, hash(above.tobytes()) ^ hash(left.tobytes()))
+        key = pos + (n, hash(above.tobytes()) ^ hash(left.tobytes()))
         if key in self._cache:
             return self._cache[key]
         if len(self._cache) > 4096:
@@ -163,6 +166,33 @@ class PnnPredictor:
         out = np.round(np.clip(pred + mean, 0.0, 255.0)).astype(np.int32)
         self._cache[key] = out
         return out
+
+    def predict_chroma(self, plane: np.ndarray, unit_coded2: np.ndarray,
+                       xc: int, yc: int, nc: int, hc: int,
+                       wc: int) -> np.ndarray:
+        """Switch chroma PNNS prediction (chroma candidate slot 35 / DM of a
+        PNNS luma PU, `hm_16_15_switch/.../TComDataCU.cpp:1364-1400`).
+
+        The reference ships LUMINANCE graphs only (three-key manifests list
+        channel 0), so its switch codec runs the luma-trained nets on chroma
+        planes too; we do the same.  Availability at chroma unit (2-sample)
+        granularity is pooled to the 4-sample units `extract_context`
+        expects (a 4-unit is available iff both 2-units are - equivalent
+        here because All-Intra TB boundaries are >= 4 chroma samples).
+        Deterministic in (plane, position), so encoder == decoder bit-exact.
+        """
+        from ..ops import reference_samples as rs
+
+        if not context_available(xc, yc, nc) or not self.supports(nc):
+            return np.zeros((nc, nc), dtype=np.int32)
+        c2 = unit_coded2
+        pooled = (c2[0::2, 0::2] & c2[0::2, 1::2]
+                  & c2[1::2, 0::2] & c2[1::2, 1::2])
+        flags = rs.neighbor_unit_flags(pooled.astype(bool), xc, yc, nc,
+                                       hc, wc)
+        mean = self.bundle.mean_for(nc)
+        above, left = extract_context(plane, xc, yc, nc, flags, mean)
+        return self._forward(above, left, nc, mean, ("c", xc, yc))
 
     def invalidate(self):
         self._cache.clear()

@@ -33,16 +33,55 @@ from ..codec.syntax import (LUMA, _first_sig_ctx, _last_ctx_params, _scan_for,
 
 _LOG2_15 = float(1 << 15)
 
+# Evolved-context calibration (scripts/calibrate_ctx.py): end-of-frame
+# estimation states from a host RDO encode of natural content, per QP.
+# Init states can sit far from steady state (greater1(1) costs 3.7 bits at
+# init vs ~1.5 mid-frame), so decisions steered by them mis-rank candidates;
+# HM itself always estimates from live contexts (TEncSbac estBit).
+CALIBRATION_PATH = __file__.replace("rate_model.py", "_ctx_calibration.npz")
+
+
+@functools.lru_cache(maxsize=None)
+def _calibration():
+    import os
+
+    # Measured on parkscene: end-of-frame evolved states steer WORSE than
+    # init states (+17.8% vs +12.7% BD) - a single snapshot frame's steady
+    # state does not transfer.  Off by default; set
+    # CANP_TPU_CTX_CALIBRATION=1 to experiment.
+    if os.environ.get("CANP_TPU_CTX_CALIBRATION") != "1":
+        return None
+    if not os.path.isfile(CALIBRATION_PATH):
+        return None
+    data = np.load(CALIBRATION_PATH)
+    return {int(k[2:]): data[k] for k in data.files}
+
+
+@functools.lru_cache(maxsize=None)
+def states_for(qp: int) -> bytes:
+    """Context-state vector for QP: calibrated snapshot (nearest QP) if the
+    calibration file exists, else HM init states.  Returned as bytes so the
+    lru_cached table builders can key on it."""
+    cal = _calibration()
+    if cal:
+        nearest = min(cal, key=lambda q: abs(q - qp))
+        return cal[nearest].astype(np.int64).tobytes()
+    return make_context_states(qp).astype(np.int64).tobytes()
+
+
+def _states(qp: int) -> np.ndarray:
+    return np.frombuffer(states_for(qp), dtype=np.int64)
+
 
 def _fb(states: np.ndarray, idx: int, b: int) -> float:
-    """Fractional bits of coding bin b in context idx at its init state."""
+    """Fractional bits of coding bin b in context idx at its current state."""
     return float(cabac.ENTROPY_BITS[int(states[idx]) ^ b]) / _LOG2_15
 
 
 @functools.lru_cache(maxsize=None)
 def scalar_bits(qp: int) -> dict:
     """QP-calibrated scalar bit costs for structure/mode syntax."""
-    st = make_context_states(qp)
+    st = _states(qp)
     avg = lambda off, k, b: float(
         np.mean([_fb(st, off + i, b) for i in range(k)]))
     return dict(
@@ -74,7 +113,7 @@ def sig_bits_tables(qp: int, n: int):
     Exact per-position context (syntax._sig_ctx), bits averaged over the four
     neighbour-CG sig patterns (unknown statically).
     """
-    st = make_context_states(qp)
+    st = _states(qp)
     log2n = n.bit_length() - 1
     out0 = np.zeros((3, n * n), np.float32)
     out1 = np.zeros((3, n * n), np.float32)
@@ -96,7 +135,7 @@ def sig_bits_tables(qp: int, n: int):
 @functools.lru_cache(maxsize=None)
 def last_bits_tables(qp: int, n: int):
     """Exact last-significant-coordinate bits: (x_bits, y_bits), (n,) each."""
-    st = make_context_states(qp)
+    st = _states(qp)
     log2n = n.bit_length() - 1
     blk_offset, shift = _last_ctx_params(log2n, LUMA)
     gmax = int(scans.GROUP_IDX[n - 1])

@@ -64,6 +64,25 @@ def _coding_order8(height: int, width: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _coding_order4(height: int, width: int):
+    """Coding-order index of every 4x4 cell (z-order to depth 3: NxN PUs)."""
+    h4, w4 = height // 4, width // 4
+    order = np.zeros((h4, w4), np.int64)
+    idx = 0
+    for cy in range(0, height, CTB):
+        for cx in range(0, width, CTB):
+            for q in range(4):          # 16x16 quadrants in z-order
+                qx, qy = cx + (q & 1) * 16, cy + (q >> 1) * 16
+                for z in range(4):      # 8x8 cells in z-order
+                    zx, zy = qx + (z & 1) * 8, qy + (z >> 1) * 8
+                    for s in range(4):  # 4x4 sub-blocks in z-order
+                        sx, sy = zx + (s & 1) * 4, zy + (s >> 1) * 4
+                        order[sy // 4, sx // 4] = idx
+                        idx += 1
+    return order
+
+
+@functools.lru_cache(maxsize=None)
 def _fill_tables(height: int, width: int, n: int):
     """Per-position reference-sample gather tables for n x n blocks.
 
@@ -72,7 +91,7 @@ def _fill_tables(height: int, width: int, n: int):
     running the golden-tested host fill on an id-coded image, so the device
     gather reproduces HM's availability + substitution rules bit-exactly.
     """
-    order = _coding_order8(height, width)
+    order4 = _coding_order4(height, width)
     nby, nbx = height // n, width // n
     # Pixel ids offset past any DC_FILL (=128) value so the fill's DC
     # substitutions are distinguishable from copied/replicated samples.
@@ -85,9 +104,10 @@ def _fill_tables(height: int, width: int, n: int):
     for by in range(nby):
         for bx in range(nbx):
             x, y = bx * n, by * n
-            my_ord = order[y // 8, x // 8]
-            coded8 = order < my_ord
-            unit_coded = np.repeat(np.repeat(coded8, 2, 0), 2, 1)  # 4-gran
+            # The z-order at 4-granularity nests the 8/16/32 orders, so one
+            # order table serves every block size.
+            my_ord = order4[y // 4, x // 4]
+            unit_coded = order4 < my_ord
             flags = rs.neighbor_unit_flags(unit_coded, x, y, n,
                                            height, width)
             ref_top, ref_left = rs.fill_reference_samples(
@@ -122,9 +142,10 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
     lam = rdo.lambda_for_qp(qp) * lam_scale
     per, rem = qp // 6, qp % 6
 
-    # Per-size constant bundles.
+    # Per-size constant bundles.  4x4 luma intra TUs use the DST-VII
+    # (normative, transform.py:68-84); all others the DCT-II.
     size_consts = {}
-    for n in (8, 16, 32):
+    for n in (4, 8, 16, 32):
         g0, g1, frac, _ = intra._angular_tables(n)
         use_filt = np.array(
             [False if m == 1 else
@@ -142,8 +163,10 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         size_consts[n] = dict(
             g0=g0, g1=g1, frac=frac, use_filt=use_filt,
             tab_top=tt, tab_left=tl,
-            t_fwd=np.asarray(transform.dct_matrix(n, True), np.int32),
-            t_inv=np.asarray(transform.dct_matrix(n), np.int32),
+            t_fwd=np.asarray(transform.DST4_FWD if n == 4
+                             else transform.dct_matrix(n, True), np.int32),
+            t_inv=np.asarray(transform.DST4 if n == 4
+                             else transform.dct_matrix(n), np.int32),
             shift1=log2n + 8 + transform.FWD_MATRIX_SHIFT - 15,
             shift2=log2n + transform.FWD_MATRIX_SHIFT,
             qbits=14 + per + tshift,
@@ -379,6 +402,52 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
             cbf, d_coded + lam * bits_coded < zero_cost)
         lvl = jnp.where(keep[:, None], lvl, 0)
         tu_bits = jnp.where(keep, bits_coded, SB["cbf0"])
+
+        # ---- sign-data hiding (device-side, normative) ----
+        # Per CG with span >= SBH_THRESHOLD(4) the serializer omits the sign
+        # of the first (forward-scan) nonzero; the decoder infers it from the
+        # parity of the CG's level sum.  The parity must therefore be fixed
+        # HERE, before dequant, so device reconstruction == decode.  HM does
+        # this in the RDOQ tail (TComTrQuant.cpp:2533-2660); we pick the
+        # cheapest +/-1 adjustment under the same cost model.
+        ncg16 = max(N // 16, 1)
+        lvr = lvl.reshape(35, ncg16, 16)
+        sgr = sign.reshape(35, ncg16, 16)
+        ldr = ldf.reshape(35, ncg16, 16)
+        pos = jnp.arange(16)
+        nzr = lvr > 0
+        firstp = jnp.min(jnp.where(nzr, pos, 16), axis=2)
+        lastp = jnp.max(jnp.where(nzr, pos, -1), axis=2)
+        span_ok = (lastp - firstp) >= 4
+        parity = jnp.sum(lvr, axis=2) & 1
+        sfirst = jnp.take_along_axis(
+            sgr, jnp.clip(firstp, 0, 15)[..., None], axis=2)[..., 0]
+        want = (sfirst < 0).astype(jnp.int32)
+        mismatch = jnp.logical_and(span_ok, parity != want)
+
+        def dcost(new_lvl, old_lvl):
+            dn = ((ldr - new_lvl.astype(jnp.float32) * qstep) ** 2
+                  - (ldr - old_lvl.astype(jnp.float32) * qstep) ** 2)
+            return (dn * c["err_scale"]
+                    + lam * (level_bits(new_lvl) - level_bits(old_lvl)))
+
+        big = jnp.float32(1e30)
+        up = jnp.where(nzr, dcost(lvr + 1, lvr), big)
+        dn = jnp.where(lvr >= 2, dcost(lvr - 1, lvr), big)
+        best_adj = jnp.minimum(up, dn)
+        pick = jnp.argmin(best_adj, axis=2)
+        delta = jnp.where(
+            jnp.take_along_axis(up, pick[..., None], 2)[..., 0]
+            <= jnp.take_along_axis(dn, pick[..., None], 2)[..., 0], 1, -1)
+        onehot = (pos[None, None] == pick[..., None]).astype(jnp.int32)
+        lvr = lvr + jnp.where(mismatch[..., None], onehot * delta[..., None],
+                              0)
+        lvl = lvr.reshape(35, N)
+        # Rate effect: one sign bit saved per hidden CG (the +/-1 level
+        # adjustment's own cost is second-order for mode ranking).
+        tu_bits = tu_bits - jnp.sum(
+            jnp.where(span_ok, 1.0, 0.0), axis=1)
+
         q_scan = sign * lvl
         q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(35, n, n)
         return q, tu_bits
@@ -416,8 +485,8 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         return jnp.where(valid, by, grid_h), jnp.where(valid, bx, 0)
 
     def step(t, state):
-        (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32, q32,
-         s32) = state
+        (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16, s16,
+         m32, q32, s32) = state
         slots = jnp.arange(b_max)
         by0 = jnp.maximum(0, -((nbx - 1 - t) // 2))
         by_ids = by0 + slots
@@ -426,6 +495,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         cby = jnp.minimum(by_ids, nby - 1)
         cbx = jnp.clip(bx_ids, 0, nbx - 1)
 
+        h4 = height // 4
         h8, w8 = height // 8, width // 8
         h16, w16 = height // 16, width // 16
 
@@ -434,45 +504,107 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
             xx = jnp.where(ok, xx, 0)
             return jax.lax.dynamic_update_slice(recon_, rec, (yy, xx))
 
-        qcost = [None] * 4   # decided lambda-cost per quadrant (b_max,)
+        # The quadrant / z-cell / 4x4-sub-block chains are lax.scans (not
+        # Python loops): the per-step HLO holds ONE instance of each
+        # encode_unit size instead of 85, which keeps XLA compile time and
+        # program size bounded (NOTES_ROUND1 §4 compile-budget issue).
+        def s4_body(sc, s4):
+            """One 4x4 NxN sub-block (z-order chain inside an 8x8 cell)."""
+            recon_, m4_, q4_, cost_nxn, last_m4, mode8_, zdx, zdy = sc
+            sdx, sdy = s4 & 1, s4 >> 1
 
-        for quad in range(4):
-            qdx, qdy = (quad & 1), (quad >> 1)
-            # --- causal 8x8 z-scan: a strict chain (z2's above-right
-            # segment is z1's bottom row, available per HEVC z-order) ---
-            for wave in ((0,), (1,), (2,), (3,)):
-                outs = []
-                for z in wave:
-                    zdx, zdy = (z & 1), (z >> 1)
+            def enc4(slot):
+                b4y = (cby[slot] * 4 + zdy) * 2 + sdy
+                b4x = (cbx[slot] * 4 + zdx) * 2 + sdx
+                return (encode_unit(4, frame, recon_, mode8_, b4y, b4x)
+                        + (b4y, b4x))
 
-                    def enc8(slot, zdx=zdx, zdy=zdy, qdx=qdx, qdy=qdy):
-                        b8y = cby[slot] * 4 + qdy * 2 + zdy
-                        b8x = cbx[slot] * 4 + qdx * 2 + zdx
-                        return (encode_unit(8, frame, recon, mode8, b8y, b8x)
-                                + (b8y, b8x))
+            c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
 
-                    outs.append(jax.vmap(enc8)(slots))
-                for cost, mode, rec, q, b8y, b8x in outs:
-                    def commit8(i, st):
-                        recon_, mode8_, m8_, q8_, c8_ = st
-                        ok = valid[i]
-                        recon_ = commit_rec(recon_, rec[i],
-                                            b8y[i] * 8, b8x[i] * 8, ok)
-                        r, cc = masked_at(b8y[i], b8x[i], ok, h8)
-                        mode8_ = mode8_.at[r, cc].set(mode[i])
-                        m8_ = m8_.at[r, cc].set(mode[i])
-                        q8_ = q8_.at[r, cc].set(q[i])
-                        c8_ = c8_.at[r, cc].set(cost[i])
-                        return recon_, mode8_, m8_, q8_, c8_
+            def commit4(i, st):
+                rc, mm, qq = st
+                ok = valid[i]
+                rc = commit_rec(rc, rec4[i], b4y[i] * 4, b4x[i] * 4, ok)
+                r4, c4_ = masked_at(b4y[i], b4x[i], ok, h4)
+                mm = mm.at[r4, c4_].set(m4b[i])
+                qq = qq.at[r4, c4_].set(q4b[i])
+                return rc, mm, qq
 
-                    recon, mode8, m8, q8, c8 = jax.lax.fori_loop(
-                        0, b_max, commit8, (recon, mode8, m8, q8, c8))
+            recon_, m4_, q4_ = jax.lax.fori_loop(
+                0, b_max, commit4, (recon_, m4_, q4_))
+            return (recon_, m4_, q4_, cost_nxn + c4, m4b, mode8_, zdx,
+                    zdy), None
 
-            # --- 16x16 candidate for this quadrant ---
-            def enc16(slot, qdx=qdx, qdy=qdy):
+        def z_body(zc, z):
+            """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
+            TEncSearch.cpp:2295-2303)."""
+            recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx, qdy = zc
+            zdx2 = qdx * 2 + (z & 1)
+            zdy2 = qdy * 2 + (z >> 1)
+
+            def enc8(slot):
+                b8y = cby[slot] * 4 + zdy2
+                b8x = cbx[slot] * 4 + zdx2
+                return (encode_unit(8, frame, recon_, mode8_, b8y, b8x)
+                        + (b8y, b8x))
+
+            cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
+
+            # NxN: 4x4s predict from the evolving reconstruction (the
+            # decoder reconstructs them in the same z-order); if 2Nx2N wins,
+            # its rec overwrites the whole cell, so the temporary 4x4
+            # commits never leak outside it.
+            (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = jax.lax.scan(
+                s4_body,
+                (recon_, m4_, q4_, jnp.zeros_like(cost8),
+                 jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
+                jnp.arange(4))
+
+            use2n = (cost8 + lam * SB["part_2nx2n"]
+                     < cost_nxn + lam * SB["part_nxn"])
+            cell_cost = jnp.where(
+                use2n, cost8 + lam * SB["part_2nx2n"],
+                cost_nxn + lam * SB["part_nxn"])
+
+            def commit_cell(i, st):
+                rc, md, m8x, q8x, c8x, s8x = st
+                ok = valid[i]
+                ok2n = jnp.logical_and(ok, use2n[i])
+                rc = commit_rec(rc, rec8[i], b8y[i] * 8, b8x[i] * 8, ok2n)
+                r, cc = masked_at(b8y[i], b8x[i], ok, h8)
+                # MPM context at 8-granularity: the 2Nx2N mode, or the
+                # bottom-right 4x4's mode when NxN wins.
+                md = md.at[r, cc].set(
+                    jnp.where(use2n[i], mode8b[i], last_m4[i]))
+                m8x = m8x.at[r, cc].set(mode8b[i])
+                q8x = q8x.at[r, cc].set(q8b[i])
+                c8x = c8x.at[r, cc].set(cell_cost[i])
+                s8x = s8x.at[r, cc].set(
+                    jnp.where(use2n[i], 0, 1).astype(jnp.int32))
+                return rc, md, m8x, q8x, c8x, s8x
+
+            recon_, mode8_, m8_, q8_, c8_, s8_ = jax.lax.fori_loop(
+                0, b_max, commit_cell,
+                (recon_, mode8_, m8_, q8_, c8_, s8_))
+            return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
+                    qdy), None
+
+        def quad_body(qc, quad):
+            (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_, q16_, s16_,
+             qsum) = qc
+            qdx, qdy = quad & 1, quad >> 1
+
+            (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, _, _), _ = \
+                jax.lax.scan(
+                    z_body,
+                    (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
+                     qdy),
+                    jnp.arange(4))
+
+            def enc16(slot):
                 b16y = cby[slot] * 2 + qdy
                 b16x = cbx[slot] * 2 + qdx
-                return (encode_unit(16, frame, recon, mode8, b16y, b16x)
+                return (encode_unit(16, frame, recon_, mode8_, b16y, b16x)
                         + (b16y, b16x))
 
             cost16, mode16, rec16, qq16, b16y, b16x = jax.vmap(enc16)(slots)
@@ -480,46 +612,53 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
             def sum8(slot):
                 b8y = cby[slot] * 4 + qdy * 2
                 b8x = cbx[slot] * 4 + qdx * 2
-                sub = jax.lax.dynamic_slice(c8, (b8y, b8x), (2, 2))
+                sub = jax.lax.dynamic_slice(c8_, (b8y, b8x), (2, 2))
                 return jnp.sum(sub)
 
             # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs pay
-            # split1 + a 2Nx2N part_size flag each (min-CU-size signalling).
-            cost8s = jax.vmap(sum8)(slots) + lam * (
-                SB["split1"] + 4 * SB["part_2nx2n"])
+            # split1 (their part_size flags are inside c8 already).
+            cost8s = jax.vmap(sum8)(slots) + lam * SB["split1"]
             cost16f = cost16 + lam * SB["split0"]
             use16 = cost16f < cost8s
-            qcost[quad] = jnp.where(use16, cost16f, cost8s)
+            qcost_q = jnp.where(use16, cost16f, cost8s)
 
             def commit16(i, st):
-                recon_, mode8_, m16_, q16_, s16_ = st
+                rc, md, m16x, q16x, s16x = st
                 ok = valid[i]
                 ok16 = jnp.logical_and(ok, use16[i])
-                recon_ = commit_rec(recon_, rec16[i],
-                                    b16y[i] * 16, b16x[i] * 16, ok16)
+                rc = commit_rec(rc, rec16[i], b16y[i] * 16, b16x[i] * 16,
+                                ok16)
                 r, cc = masked_at(b16y[i], b16x[i], ok, h16)
-                m16_ = m16_.at[r, cc].set(mode16[i])
-                q16_ = q16_.at[r, cc].set(qq16[i])
-                s16_ = s16_.at[r, cc].set(
+                m16x = m16x.at[r, cc].set(mode16[i])
+                q16x = q16x.at[r, cc].set(qq16[i])
+                s16x = s16x.at[r, cc].set(
                     jnp.where(use16[i], 0, 1).astype(jnp.int32))
                 # Decided modes at 8-granularity feed later MPMs.
                 r8, c8_0 = masked_at(b16y[i] * 2, b16x[i] * 2, ok16, h8)
                 mfill = jnp.full((2, 2), mode16[i], jnp.int32)
-                mode8_ = jax.lax.dynamic_update_slice(
-                    mode8_, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
-                        mode8_, (r8, c8_0), (2, 2))), (r8, c8_0))
-                return recon_, mode8_, m16_, q16_, s16_
+                md = jax.lax.dynamic_update_slice(
+                    md, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
+                        md, (r8, c8_0), (2, 2))), (r8, c8_0))
+                return rc, md, m16x, q16x, s16x
 
-            recon, mode8, m16, q16, s16 = jax.lax.fori_loop(
-                0, b_max, commit16, (recon, mode8, m16, q16, s16))
+            recon_, mode8_, m16_, q16_, s16_ = jax.lax.fori_loop(
+                0, b_max, commit16, (recon_, mode8_, m16_, q16_, s16_))
+            return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_,
+                    q16_, s16_, qsum + qcost_q), None
+
+        (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16, qsum), _ = \
+            jax.lax.scan(
+                quad_body,
+                (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+                 jnp.zeros((b_max,), jnp.float32)),
+                jnp.arange(4))
 
         # --- 32x32 candidate ---
         def enc32(slot):
             return encode_unit(32, frame, recon, mode8, cby[slot], cbx[slot])
 
         cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
-        cost_quads = (qcost[0] + qcost[1] + qcost[2] + qcost[3]
-                      + lam * SB["split1"])
+        cost_quads = qsum + lam * SB["split1"]
         use32 = cost32 + lam * SB["split0"] < cost_quads
 
         def commit32(i, st):
@@ -543,13 +682,14 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
             0, b_max, commit32, (recon, mode8, m32, q32, s32))
 
-        return (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32,
-                q32, s32)
+        return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
+                s16, m32, q32, s32)
 
     @jax.jit
     def run(frame_u8):
         frame = frame_u8.astype(jnp.int32)
         zero = frame[0, 0] * 0
+        h4, w4 = height // 4, width // 4
         h8, w8 = height // 8, width // 8
         h16, w16 = height // 16, width // 16
         # Scratch rows at the bottom absorb masked writes: scalar .at sets
@@ -560,6 +700,9 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
         q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
         c8 = jnp.zeros((h8 + 1, w8), jnp.float32) + zero.astype(jnp.float32)
+        s8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
+        m4 = jnp.zeros((h4 + 1, w4), jnp.int32) + zero
+        q4 = jnp.zeros((h4 + 1, w4, 4, 4), jnp.int32) + zero
         m16 = jnp.zeros((h16 + 1, w16), jnp.int32) + zero
         q16 = jnp.zeros((h16 + 1, w16, 16, 16), jnp.int32) + zero
         c16 = jnp.zeros((h16 + 1, w16), jnp.float32) + zero.astype(jnp.float32)
@@ -567,13 +710,14 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         m32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
         q32 = jnp.zeros((nby + 1, nbx, 32, 32), jnp.int32) + zero
         s32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
-        state = (frame, recon, mode8, m8, q8, c8, m16, q16, c16, s16, m32,
-                 q32, s32)
+        state = (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
+                 s16, m32, q32, s32)
         state = jax.lax.fori_loop(0, n_steps, step, state)
-        (_f, recon, mode8, m8, q8, _c8, m16, q16, _c16, s16, m32, q32,
-         s32) = state
-        return (recon[:height], m8[:h8], q8[:h8], m16[:h16], q16[:h16],
-                s16[:h16], m32[:nby], q32[:nby], s32[:nby])
+        (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
+         m32, q32, s32) = state
+        return (recon[:height], m8[:h8], q8[:h8], s8[:h8], m4[:h4], q4[:h4],
+                m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
+                s32[:nby])
 
     return run
 
@@ -585,7 +729,7 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
 
     h, w = frame_uint8.shape
     run = _jitted_wavefront2(h, w, qp, lam_scale)
-    (recon, m8, q8, m16, q16, s16, m32, q32, s32) = (
+    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = (
         np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
 
     trees = []
@@ -598,6 +742,22 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
                               [enc_mod.TuRecord(x, y, n, cbf,
                                                 q if cbf else None)])
         return enc_mod.CuNode(x, y, n, 0, split=False, pus=[pu])
+
+    def leaf8(x, y):
+        """8x8 CU: 2Nx2N leaf, or NxN with four 4x4 PUs (DST TUs)."""
+        if not s8[y // 8, x // 8]:
+            return leaf(x, y, 8, m8[y // 8, x // 8], q8[y // 8, x // 8])
+        node = enc_mod.CuNode(x, y, 8, 0, split=False, part_nxn=True)
+        for s in range(4):
+            sx, sy = x + (s & 1) * 4, y + (s >> 1) * 4
+            mode = int(m4[sy // 4, sx // 4])
+            q = q4[sy // 4, sx // 4]
+            cbf = 1 if q.any() else 0
+            mode_map[sy // 4, sx // 4] = mode
+            node.pus.append(enc_mod.PuRecord(
+                sx, sy, 4, mode,
+                [enc_mod.TuRecord(sx, sy, 4, cbf, q if cbf else None)]))
+        return node
 
     for by in range(h // CTB):
         for bx in range(w // CTB):
@@ -621,8 +781,7 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
                     for z in range(4):
                         zx = qx + (z & 1) * 8
                         zy = qy + (z >> 1) * 8
-                        g = leaf(zx, zy, 8, m8[zy // 8, zx // 8],
-                                 q8[zy // 8, zx // 8])
+                        g = leaf8(zx, zy)
                         g.depth = 2
                         child.children.append(g)
                 root.children.append(child)
@@ -632,7 +791,7 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
     if serialize:
         bitstream = enc_mod.serialize_trees(
             trees, width=w, height=h, qp=qp, policy="regular", ctu_size=CTB,
-            sign_hiding=False)
+            sign_hiding=True)
     return enc_mod.EncodeResult(
         bitstream=bitstream,
         reconstruction=recon.astype(np.uint8),
@@ -682,7 +841,7 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
         res.reconstruction = final
     stream = hm_encoder.assemble_hm_stream(
         res, sao_enabled=loop_filters, deblocking=loop_filters,
-        sign_hiding=False, transform_skip=False, max_tu_depth=0,
+        sign_hiding=True, transform_skip=False, max_tu_depth=0,
         sao_grid=sao_grid, ctu_size=CTB)
     res.bitstream = stream
     res.num_bits = len(stream) * 8

@@ -33,3 +33,55 @@ def test_batch_padding_does_not_leak():
     out5 = np.asarray(fc_forward.fc_forward_pallas(params, x5, w))
     out3 = np.asarray(fc_forward.fc_forward_pallas(params, x5[:3], w))
     np.testing.assert_allclose(out3, out5[:3], rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------- channelwise merger ----
+
+from context_adaptive_neural_network_based_prediction_tpu.ops.pallas import (  # noqa: E402
+    merger as pallas_merger)
+
+
+class TestMergerKernel:
+    def _data(self, w, batch, seed=0):
+        """Branch-feature shapes for the conv PNN at target width w."""
+        strides = pnn.STRIDES_BRANCH[w]
+        prod = int(np.prod(strides))
+        m = 32 * prod
+        rng = np.random.default_rng(seed)
+        x0 = rng.normal(0, 1, (batch, w // prod, 3 * w // prod, m)).astype(
+            np.float32)
+        x1 = rng.normal(0, 1, (batch, 2 * w // prod, w // prod, m)).astype(
+            np.float32)
+        p = x0[0, :, :, 0].size + x1[0, :, :, 0].size
+        o = (w // prod) ** 2
+        wgt = rng.normal(0, 0.1, (m, p, o)).astype(np.float32)
+        b = rng.normal(0, 0.1, (m, o)).astype(np.float32)
+        return wgt, b, x0, x1, w // prod
+
+    @pytest.mark.parametrize("w", [16, 32])
+    @pytest.mark.parametrize("batch", [1, 5, 130])
+    def test_matches_xla_merger(self, w, batch):
+        wgt, b, x0, x1, side = self._data(w, batch, seed=w + batch)
+        ref = np.asarray(pnn.leaky_relu(pnn.channelwise_fc_merger(
+            wgt, b, x0, x1, side, side)))
+        out = np.asarray(pallas_merger.merger_forward(
+            wgt, b, x0, x1, side, side))
+        assert out.shape == ref.shape
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(out - ref).max() / scale < 2e-2
+
+    def test_no_activation_variant(self):
+        wgt, b, x0, x1, side = self._data(16, 4, seed=3)
+        ref = np.asarray(pnn.channelwise_fc_merger(wgt, b, x0, x1, side, side))
+        out = np.asarray(pallas_merger.merger_forward(
+            wgt, b, x0, x1, side, side, apply_act=False))
+        scale = np.abs(ref).max() + 1e-6
+        assert np.abs(out - ref).max() / scale < 2e-2
+
+    def test_batch_padding_does_not_leak(self):
+        wgt, b, x0, x1, side = self._data(16, 6, seed=9)
+        full = np.asarray(pallas_merger.merger_forward(
+            wgt, b, x0, x1, side, side))
+        part = np.asarray(pallas_merger.merger_forward(
+            wgt, b, x0[:2], x1[:2], side, side))
+        np.testing.assert_allclose(part, full[:2], rtol=1e-5, atol=1e-4)
