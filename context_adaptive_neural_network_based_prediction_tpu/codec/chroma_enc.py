@@ -51,12 +51,15 @@ class CuChroma:
 class ChromaPass:
     def __init__(self, cb: np.ndarray, cr: np.ndarray, qp: int, *,
                  lam: float, sign_hiding: bool, use_rdoq: bool = True,
-                 cb_qp_offset: int = 0, cr_qp_offset: int = 0):
+                 cb_qp_offset: int = 0, cr_qp_offset: int = 0,
+                 policy: str = "regular", pnn=None):
         self.cb = cb.astype(np.int32)
         self.cr = cr.astype(np.int32)
         self.hc, self.wc = cb.shape
         self.qp_cb = chroma_qp_420(qp, cb_qp_offset)
         self.qp_cr = chroma_qp_420(qp, cr_qp_offset)
+        self.policy = policy
+        self.pnn = pnn.bind_qp(qp) if pnn is not None else None
         self.lam = lam
         self.sign_hiding = sign_hiding
         self.use_rdoq = use_rdoq
@@ -108,12 +111,17 @@ class ChromaPass:
     def _code_tb(self, plane, recon, xc, yc, nc, mode, qpc, counter, ctx):
         """Predict/transform/quant/recon one chroma TB; returns
         (sse, cbf, coeffs, rec)."""
-        flags = rs.neighbor_unit_flags(self.unit_coded, xc, yc, nc,
-                                       self.hc, self.wc, unit=2)
-        ref_top, ref_left = rs.fill_reference_samples(recon, xc, yc, nc,
-                                                      flags, unit=2)
-        pred = intra.predict_one_mode_np(ref_top, ref_left, mode,
-                                         filtered_edges=False)
+        if mode == 35:
+            # Switch chroma PNNS: same normative forward the decoder runs.
+            pred = self.pnn.predict_chroma(recon, self.unit_coded, xc, yc,
+                                           nc, self.hc, self.wc)
+        else:
+            flags = rs.neighbor_unit_flags(self.unit_coded, xc, yc, nc,
+                                           self.hc, self.wc, unit=2)
+            ref_top, ref_left = rs.fill_reference_samples(recon, xc, yc, nc,
+                                                          flags, unit=2)
+            pred = intra.predict_one_mode_np(ref_top, ref_left, mode,
+                                             filtered_edges=False)
         orig = plane[yc:yc + nc, xc:xc + nc]
         resi = orig - pred
         coeff = transform.forward_transform_np(resi[None], use_dst=False)[0]
@@ -167,15 +175,30 @@ class ChromaPass:
         return cost, records, ctx
 
     def _candidates(self, luma_mode: int):
+        """Chroma mode candidates: H.265 8.4.3 list, or the switch list
+        {Planar, DC, Ver, 35, DM} with HOR collision-substitution
+        (hm_16_15_switch/.../TComDataCU.cpp:1364-1400)."""
+        from .hm_decoder import SWITCH_CHROMA_CANDIDATES
+
         cands = []
-        for i, m in enumerate(CHROMA_CANDIDATES):
-            cands.append((i, 34 if m == luma_mode else m))
+        if self.policy == "switch":
+            for i, m in enumerate(SWITCH_CHROMA_CANDIDATES):
+                mode = 10 if m == luma_mode else m
+                if mode == 35 and (self.pnn is None
+                                   or not self.pnn.supports(4)):
+                    continue
+                cands.append((i, mode))
+        else:
+            for i, m in enumerate(CHROMA_CANDIDATES):
+                cands.append((i, 34 if m == luma_mode else m))
         cands.append((DM_INDEX, luma_mode))
         return cands
 
     def encode_cu(self, node: CuNode):
         luma_mode0 = node.pus[0].mode
-        if luma_mode0 >= 35:   # PNNS: DM maps to a real angular surrogate
+        if luma_mode0 >= 35 and self.policy != "switch":
+            # PNNS luma under a non-switch chroma pass: DM maps to a real
+            # angular surrogate.
             luma_mode0 = syntax.DC_IDX
         tbs = self._chroma_tbs_of_cu(node)
         x, y, size = node.x, node.y, node.size

@@ -45,12 +45,22 @@ def chroma_qp_420(qp_luma: int, offset: int = 0) -> int:
 # IntraPredModeC candidate list (Rec. H.265 8.4.3): {planar, ver, hor, dc};
 # an entry equal to the luma mode is replaced by angular 34.
 CHROMA_CANDIDATES = (0, 26, 10, 1)
+# Switch-policy list {planar, dc, ver, PNNS}; a collision with the luma mode
+# is replaced by HORIZONTAL (hm_16_15_switch/.../TComDataCU.cpp:1364-1400).
+SWITCH_CHROMA_CANDIDATES = (0, 1, 26, 35)
 
 
-def chroma_mode_from_index(index: int, luma_mode: int) -> int:
-    """index 4 = DM (luma mode); 0..3 = candidate list with 34-substitution."""
+def chroma_mode_from_index(index: int, luma_mode: int,
+                           policy: str = "regular") -> int:
+    """index 4 = DM (luma mode); 0..3 = candidate list with substitution.
+
+    Regular/substitution: H.265 8.4.3 (34-substitution).  Switch: the
+    reference replaces the 35-bearing list's luma collision with HOR."""
     if index == 4:
         return luma_mode
+    if policy == "switch":
+        mode = SWITCH_CHROMA_CANDIDATES[index]
+        return 10 if mode == luma_mode else mode
     mode = CHROMA_CANDIDATES[index]
     return 34 if mode == luma_mode else mode
 
@@ -83,8 +93,6 @@ class HmFrameDecoder:
             raise ValueError("NN policies need a PnnPredictor")
         self.policy = policy
         st = hm_bitstream.parse_stream(annexb)
-        if policy != "regular" and st.sps.chroma_format_idc != 0:
-            raise ValueError("NN policies are implemented for 4:0:0 streams")
         if st.sps.chroma_format_idc not in (0, 1):
             raise ValueError("only 4:0:0 / 4:2:0 streams supported")
         if st.sps.bit_depth_luma != 8:
@@ -264,7 +272,7 @@ class HmFrameDecoder:
             index = 4  # DM
         else:
             index = self.dec.decode_bins_ep(2)
-        return chroma_mode_from_index(index, luma_mode0)
+        return chroma_mode_from_index(index, luma_mode0, self.policy)
 
     # --------------------------------------------------------------- TUs ----
 
@@ -374,12 +382,21 @@ class HmFrameDecoder:
         """
         for plane, cbf, qpc in ((self.recon_cb, cbf_cb, self.qp_cb),
                                 (self.recon_cr, cbf_cr, self.qp_cr)):
-            flags = rs.neighbor_unit_flags(self.unit_coded, xc, yc, nc,
-                                           self.h // 2, self.w // 2, unit=2)
-            ref_top, ref_left = rs.fill_reference_samples(plane, xc, yc, nc,
-                                                          flags, unit=2)
-            pred = intra.predict_one_mode_np(ref_top, ref_left, chroma_mode,
-                                             filtered_edges=False)
+            if chroma_mode == PNNS_MODE:
+                # Switch chroma PNNS: luma-trained nets on the chroma plane
+                # (nn_intra.predict_chroma docstring).
+                pred = self.pnn.predict_chroma(
+                    plane, self.unit_coded, xc, yc, nc,
+                    self.h // 2, self.w // 2)
+            else:
+                flags = rs.neighbor_unit_flags(self.unit_coded, xc, yc, nc,
+                                               self.h // 2, self.w // 2,
+                                               unit=2)
+                ref_top, ref_left = rs.fill_reference_samples(
+                    plane, xc, yc, nc, flags, unit=2)
+                pred = intra.predict_one_mode_np(ref_top, ref_left,
+                                                 chroma_mode,
+                                                 filtered_edges=False)
             if cbf:
                 tskip = 0
                 if self.pps.transform_skip_enabled and nc == 4:
@@ -464,6 +481,11 @@ class HmFrameDecoder:
         """
         from . import native
 
+        if self.policy == "switch" and self.chroma:
+            # The C++ parser derives chroma modes with the regular candidate
+            # list; switch 4:2:0 (chroma PNNS, SWITCH_CHROMA_CANDIDATES)
+            # routes through the Python path.
+            raise NotImplementedError("switch chroma uses the Python path")
         policy_id = {"regular": 0, "substitution": 1, "switch": 2}[self.policy]
         full_recon = self.policy == "regular"
         res = native.hm_decode_slice_native(

@@ -492,7 +492,8 @@ def encode_frame_hm_420(ycbcr_or_planes, qp: int, **kwargs) -> tuple:
 
     cp = chroma_enc.ChromaPass(cb, cr, qp, lam=fe.lam,
                                sign_hiding=fe.sign_hiding,
-                               use_rdoq=fe.use_rdoq)
+                               use_rdoq=fe.use_rdoq,
+                               policy=fe.policy, pnn=fe.pnn)
     rec_cb, rec_cr = cp.run(result.ctu_trees, make_context_states(qp))
     if fe.deblocking:
         rec_cb = deblock.deblock_chroma(rec_cb, fe.tu_map, chroma_qp_420(qp))

@@ -80,3 +80,66 @@ def test_chroma_deblock_matches_hm_shape():
     changed = np.argwhere(out != plane)
     for (y, x) in changed:
         assert (x in (7, 8, 15, 16, 23, 24)) or (y in (7, 8, 15, 16, 23, 24))
+
+
+# ------------------------------------------------- switch chroma (PNNS) ----
+
+def test_switch_chroma_candidate_list():
+    """{Planar, DC, Ver, 35, DM} with HOR collision-substitution
+    (hm_16_15_switch/.../TComDataCU.cpp:1364-1400)."""
+    from context_adaptive_neural_network_based_prediction_tpu.codec.hm_decoder import (
+        chroma_mode_from_index)
+
+    # Non-colliding luma mode: slots map straight through.
+    assert [chroma_mode_from_index(i, 18, "switch") for i in range(5)] == \
+        [0, 1, 26, 35, 18]
+    # Collisions replace the slot with HORIZONTAL (10).
+    assert chroma_mode_from_index(0, 0, "switch") == 10     # planar
+    assert chroma_mode_from_index(1, 1, "switch") == 10     # dc
+    assert chroma_mode_from_index(2, 26, "switch") == 10    # ver
+    assert chroma_mode_from_index(3, 35, "switch") == 10    # PNNS luma
+    # DM of a PNNS luma PU is PNNS chroma.
+    assert chroma_mode_from_index(4, 35, "switch") == 35
+    # Regular list unchanged.
+    assert chroma_mode_from_index(3, 18) == 1
+
+
+def test_switch_chroma_420_roundtrip():
+    """Own-container 4:2:0 switch stream decodes bit-exactly (all planes)."""
+    from tests.test_codec import toy_pnn_predictor
+    from context_adaptive_neural_network_based_prediction_tpu.codec import (
+        hm_decoder, hm_encoder)
+
+    rng = np.random.default_rng(3)
+    ycc = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pnn_pred = toy_pnn_predictor()
+    stream, res, rec_cb, rec_cr = hm_encoder.encode_frame_hm_420(
+        ycc, 32, policy="switch", pnn=pnn_pred)
+    out = hm_decoder.decode_hm_stream(stream, policy="switch", pnn=pnn_pred)
+    assert np.array_equal(out.reconstruction, res.reconstruction)
+    assert np.array_equal(out.reconstruction_cb, rec_cb)
+    assert np.array_equal(out.reconstruction_cr, rec_cr)
+
+
+def test_switch_chroma_pnns_mode_normative(monkeypatch):
+    """Forcing every chroma CU onto candidate slot 3 (= mode 35 when the
+    luma mode is not 35) drives the chroma PNN forward on BOTH sides;
+    encode and decode must still agree bit-exactly - the NN is normative."""
+    from tests.test_codec import toy_pnn_predictor
+    from context_adaptive_neural_network_based_prediction_tpu.codec import (
+        chroma_enc, hm_decoder, hm_encoder)
+
+    def forced(self, luma_mode):
+        if luma_mode != 35:
+            return [(3, 35)]
+        return [(4, 35)]
+
+    monkeypatch.setattr(chroma_enc.ChromaPass, "_candidates", forced)
+    rng = np.random.default_rng(7)
+    ycc = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    pnn_pred = toy_pnn_predictor()
+    stream, res, rec_cb, rec_cr = hm_encoder.encode_frame_hm_420(
+        ycc, 27, policy="switch", pnn=pnn_pred)
+    out = hm_decoder.decode_hm_stream(stream, policy="switch", pnn=pnn_pred)
+    assert np.array_equal(out.reconstruction_cb, rec_cb)
+    assert np.array_equal(out.reconstruction_cr, rec_cr)
