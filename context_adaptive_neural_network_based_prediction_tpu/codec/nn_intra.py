@@ -42,11 +42,19 @@ class PnnBundle:
     for every width) or a width->mean dict when mixing models trained on
     different datasets (e.g. the shipped 4/8 checkpoints + locally trained
     16/32 models).
+
+    `quantized`/`pair_quantized` hold the frozen deterministic integer
+    models (`models/pnn_q.py`).  When present for a width they are the
+    normative forward — required whenever encode and decode may batch NN
+    calls differently (the device wavefront encoder does), since the float
+    forward is not reduction-order invariant.
     """
     params: Dict[int, dict]            # width -> param pytree
     is_fully_connected: Dict[int, bool]
     mean_training: object              # float | Dict[int, float]
     pair_params: Optional[Dict[int, dict]] = None
+    quantized: Optional[Dict[int, dict]] = None
+    pair_quantized: Optional[Dict[int, dict]] = None
 
     def params_for_qp(self, qp: int) -> Dict[int, dict]:
         if self.pair_params is not None and qp >= QP_PAIR_THRESHOLD:
@@ -56,6 +64,36 @@ class PnnBundle:
             merged.update(self.pair_params)
             return merged
         return self.params
+
+    def quantized_for_qp(self, qp: int) -> Dict[int, dict]:
+        if self.quantized is None:
+            return {}
+        if self.pair_quantized is not None and qp >= QP_PAIR_THRESHOLD:
+            merged = dict(self.quantized)
+            merged.update(self.pair_quantized)
+            return merged
+        return self.quantized
+
+    def quantize(self, calib_images=None, n_samples: int = 256) -> "PnnBundle":
+        """Returns a bundle with frozen quantized models for every width."""
+        from ..models import pnn_q
+
+        def build(src):
+            out = {}
+            for w, p in src.items():
+                calib = pnn_q.calibration_contexts(
+                    w, self.is_fully_connected[w], images=calib_images,
+                    n_samples=n_samples)
+                out[w] = pnn_q.quantize_pnn(p, calib, w,
+                                            self.is_fully_connected[w])
+            return out
+
+        return PnnBundle(
+            self.params, dict(self.is_fully_connected), self.mean_training,
+            pair_params=self.pair_params,
+            quantized=build(self.params),
+            pair_quantized=(build(self.pair_params)
+                            if self.pair_params is not None else None))
 
     def mean_for(self, n: int) -> float:
         if isinstance(self.mean_training, dict):
@@ -133,8 +171,13 @@ class PnnPredictor:
         return self.bundle.params_for_qp(self.qp) if self.qp is not None \
             else self.bundle.params
 
+    @property
+    def _quantized(self):
+        return self.bundle.quantized_for_qp(self.qp if self.qp is not None
+                                            else 0)
+
     def supports(self, n: int) -> bool:
-        return n in self._params
+        return n in self._params or n in self._quantized
 
     def predict(self, recon: np.ndarray, x: int, y: int, n: int,
                 flags: np.ndarray) -> np.ndarray:
@@ -155,15 +198,23 @@ class PnnPredictor:
             return self._cache[key]
         if len(self._cache) > 4096:
             self._cache.clear()
-        params = self._params[n]
         is_fc = self.bundle.is_fully_connected[n]
         if is_fc:
             inputs = np.concatenate(
                 [above.reshape(1, -1), left.reshape(1, -1)], axis=1)
         else:
             inputs = (above[None, :, :, None], left[None, :, :, None])
-        pred = np.asarray(pnn.forward(params, inputs, n, is_fc))[0, :, :, 0]
-        out = np.round(np.clip(pred + mean, 0.0, 255.0)).astype(np.int32)
+        quant = self._quantized
+        if n in quant:
+            # Normative deterministic integer forward (models/pnn_q.py).
+            from ..models import pnn_q
+
+            out = np.asarray(pnn_q.predict_pixels_q(
+                quant[n], inputs, n, is_fc, mean))[0]
+        else:
+            pred = np.asarray(pnn.forward(self._params[n], inputs, n,
+                                          is_fc))[0, :, :, 0]
+            out = np.round(np.clip(pred + mean, 0.0, 255.0)).astype(np.int32)
         self._cache[key] = out
         return out
 
