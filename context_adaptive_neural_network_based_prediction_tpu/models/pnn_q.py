@@ -381,7 +381,7 @@ def predict_pixels_q(q: dict, inputs, width: int, is_fully_connected: bool,
 # ------------------------------------------------------------- save/load --
 
 def save_quantized(path: str, q: dict) -> None:
-    np.savez(path, **{k: np.asarray(v) for k, v in q.items()})
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in q.items()})
 
 
 def load_quantized(path: str) -> dict:

@@ -53,3 +53,55 @@ def predict_by_batch(params: dict, inputs, width_target: int,
         outs.append(np.asarray(
             pnn.forward(params, get(lo, hi), width_target, is_fully_connected)))
     return np.concatenate(outs, axis=0)
+
+
+# ------------------------------------------------------- frozen-zoo loading --
+
+def load_frozen_params(path: str):
+    """Loads a frozen .npz (cli/export_pnn.freeze_checkpoint layout) back into
+    the nested param-pytree convention.  Returns (params, is_fully_connected).
+    """
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        params: dict = {}
+        for key in data.files:
+            node = params
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(data[key])
+    return params, "fully_connected" in params
+
+
+def load_codec_bundle(manifest_path: str, mean_training,
+                      quantized_manifest_path: str = None):
+    """Three-key manifest (width,is_pair,channel,path — the reference's
+    `paths_to_graphs_output/*.txt` format, `tools.h:105-108`) -> PnnBundle.
+
+    `quantized_manifest_path` optionally adds the frozen deterministic
+    integer models (`models/pnn_q.py`) required by the device wavefront
+    encoder; widths present there become the codec's normative forward.
+    """
+    from ..cli.export_pnn import parse_manifest
+    from ..codec.nn_intra import PnnBundle
+
+    table = parse_manifest(manifest_path)
+    params, pair_params, arch = {}, {}, {}
+    for (width, is_pair), path in table.items():
+        p, is_fc = load_frozen_params(path)
+        arch[width] = is_fc
+        (pair_params if is_pair else params)[width] = p
+    quantized = pair_quantized = None
+    if quantized_manifest_path and os.path.isfile(quantized_manifest_path):
+        from . import pnn_q
+
+        quantized, pair_quantized = {}, {}
+        for (width, is_pair), path in parse_manifest(
+                quantized_manifest_path).items():
+            q = pnn_q.load_quantized(path)
+            (pair_quantized if is_pair else quantized)[width] = q
+        pair_quantized = pair_quantized or None
+    return PnnBundle(params, arch, mean_training,
+                     pair_params=pair_params or None,
+                     quantized=quantized, pair_quantized=pair_quantized)

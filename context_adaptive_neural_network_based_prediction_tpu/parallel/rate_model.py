@@ -103,6 +103,10 @@ def scalar_bits(qp: int) -> dict:
                             for c in (0, 2)])),
         mpm1=_fb(st, OFFSETS.prev_intra, 1),
         mpm0=_fb(st, OFFSETS.prev_intra, 0),
+        # Switch policy: leading PNNS bin per PU, dedicated context init 154
+        # (hm_16_15_switch ContextTables.h:239-247).
+        pnns0=_fb(st, OFFSETS.pnns_flag, 0),
+        pnns1=_fb(st, OFFSETS.pnns_flag, 1),
     )
 
 

@@ -29,6 +29,20 @@ will derive.  Two mechanisms guarantee this:
 The host only walks the decided quadtree into CuNode trees and runs the
 shared CABAC serializer: streams decode bit-exactly through the normative
 decoders (own-format and Annex-B HEVC with CTB 32).
+
+**Neural modes on the device path** (the framework's core thesis — the
+reference runs one TF `Session::Run` per TB inside the sequential Z-scan,
+`TComPrediction.cpp:556-607`): with `policy="substitution"` mode 18's
+prediction is the PNN, with `policy="switch"` the PNN is a signalled 36th
+candidate (PNNS), exactly as in the host codec — but here the context
+extraction + forward of EVERY unit trial on a wavefront anti-diagonal runs
+batched inside the jitted program (vmapped over slots).  The forward is the
+*quantized deterministic* net (`models/pnn_q.py`): integer accumulation is
+reduction-order invariant, so the batched device forwards agree bit-exactly
+with the sequential host decoder's — a float net cannot be normative here.
+Context availability and the per-4-sample-strip copy gating
+(`TComPattern.cpp:109-175`, `extraction_context.cpp`) depend only on
+geometry + coding order, so they are precomputed static mask tables.
 """
 
 from __future__ import annotations
@@ -44,6 +58,8 @@ from ..ops import reference_samples as rs
 from . import rate_model
 
 CTB = 32
+PADW = 32           # right padding of the recon plane for NN context slices
+PNNS_MODE = 35
 
 
 @functools.lru_cache(maxsize=None)
@@ -125,10 +141,72 @@ def _fill_tables(height: int, width: int, n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _nn_ctx_tables(height: int, width: int, n: int):
+    """Static PNN-context availability tables for n x n units.
+
+    Returns (ctx_ok (nby,nbx) bool, above_mask (nby,nbx,3n) f32,
+    left_mask (nby,nbx,2n) f32): the anchor-CTU availability rule
+    (`TComPattern.cpp:109-175` — anchor pixel (x-n, y-n) inside the picture)
+    and the per-4-sample-strip copy gating of `extraction_context.cpp`,
+    derived from coding order exactly like the host `extract_context` flags.
+    """
+    order4 = _coding_order4(height, width)
+    nby, nbx = height // n, width // n
+    n_units = (2 * n) // 4
+    ctx_ok = np.zeros((nby, nbx), bool)
+    amask = np.zeros((nby, nbx, 3 * n), np.float32)
+    lmask = np.zeros((nby, nbx, 2 * n), np.float32)
+    for by in range(nby):
+        for bx in range(nbx):
+            x, y = bx * n, by * n
+            if x - n < 0 or y - n < 0:
+                continue
+            ctx_ok[by, bx] = True
+            my_ord = order4[y // 4, x // 4]
+            unit_coded = order4 < my_ord
+            flags = rs.neighbor_unit_flags(unit_coded, x, y, n,
+                                           height, width)
+            amask[by, bx, :n] = 1.0    # above-left corner: always copied
+            for i in range(n_units):
+                if flags[n_units + 1 + i]:
+                    amask[by, bx, n + 4 * i: n + 4 * i + 4] = 1.0
+                if flags[n_units - 1 - i]:
+                    lmask[by, bx, 4 * i: 4 * i + 4] = 1.0
+    return ctx_ok, amask, lmask
+
+
+# Explicit cache (lru_cache cannot key on a PnnBundle of numpy arrays).
+_W2_CACHE: dict = {}
+
+
 def _jitted_wavefront2(height: int, width: int, qp: int,
-                       lam_scale: float = 1.0):
+                       lam_scale: float = 1.0, policy: str = "regular",
+                       bundle=None):
+    key = (height, width, qp, lam_scale, policy, id(bundle))
+    hit = _W2_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle)
+    _W2_CACHE[key] = (run, bundle)   # keep bundle alive so id() stays valid
+    return run
+
+
+def _build_wavefront2(height: int, width: int, qp: int,
+                      lam_scale: float, policy: str, bundle):
     import jax
     import jax.numpy as jnp
+
+    from ..models import pnn_q
+
+    if policy not in ("regular", "substitution", "switch"):
+        raise ValueError(f"unknown policy {policy!r}")
+    if policy != "regular" and bundle is None:
+        raise ValueError("NN policies need a quantized PnnBundle")
+    qmodels = bundle.quantized_for_qp(qp) if bundle is not None else {}
+    if policy != "regular" and not qmodels:
+        raise ValueError("bundle has no quantized models (call .quantize())")
+    nn_widths = tuple(sorted(w for w in qmodels if w in (4, 8, 16, 32)))
+    n_modes = 36 if policy == "switch" else 35
 
     if height % CTB or width % CTB:
         raise ValueError("wavefront2 needs frame dims that are multiples "
@@ -157,6 +235,10 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         sig0, sig1 = rate_model.sig_bits_tables(qp, n)
         lastx, lasty = rate_model.last_bits_tables(qp, n)
         sgather, mode_scan = rate_model.scan_tables(n)
+        if n_modes == 36:
+            # PNNS residuals use mode-0 coefficient syntax
+            # (`syntax.encode_coefficients(..., 0, ...)` for PNNS_MODE).
+            mode_scan = np.concatenate([mode_scan, mode_scan[:1]])
         inv_gather = np.empty_like(sgather)
         for st in range(3):
             inv_gather[st, sgather[st]] = np.arange(n * n, dtype=np.int32)
@@ -173,11 +255,19 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
             iq_shift=6 - (tshift + per),
             err_scale=float(2.0 ** (-2.0 * tshift)
                             / float(transform.QUANT_SCALES[rem]) ** 2),
-            # Scan-domain rate tables, pre-gathered per mode: (35, n*n).
+            # Scan-domain rate tables, pre-gathered per mode: (n_modes, n*n).
             sig0=sig0[mode_scan], sig1=sig1[mode_scan],
             lastx=lastx, lasty=lasty,
             sg=sgather[mode_scan], inv_sg=inv_gather[mode_scan],
         )
+        if n in nn_widths:
+            ctx_ok, am, lm = _nn_ctx_tables(height, width, n)
+            size_consts[n]["nn_ok"] = ctx_ok
+            size_consts[n]["nn_amask"] = am
+            size_consts[n]["nn_lmask"] = lm
+            size_consts[n]["nn_q"] = qmodels[n]
+            size_consts[n]["nn_fc"] = bundle.is_fully_connected[n]
+            size_consts[n]["nn_mean"] = bundle.mean_for(n)
     qscale = transform.QUANT_SCALES[rem]
     iq_scale = transform.INV_QUANT_SCALES[rem]
 
@@ -306,8 +396,15 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         ids = jnp.arange(35)
         is0 = ids == mpms[0]
         ismpm = is0 | (ids == mpms[1]) | (ids == mpms[2])
-        return jnp.where(is0, MODE_BITS[0],
+        base = jnp.where(is0, MODE_BITS[0],
                          jnp.where(ismpm, MODE_BITS[1], MODE_BITS[3]))
+        if n_modes == 36:
+            # Every normal mode pays pnns_flag=0; PNNS pays only the flag
+            # (TEncSbac::codeIntraDirLumaAng switch-codec bin order).
+            return jnp.concatenate(
+                [base + SB["pnns0"],
+                 jnp.full((1,), SB["pnns1"], jnp.float32)])
+        return base
 
     def level_bits(lvl):
         """Context-init-calibrated bits of a nonzero level (sign included).
@@ -331,7 +428,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         coeff-domain distortion + lambda*bits (HM xGetCodedLevel's candidate
         set), then an all-zero CBF trade-off with last-position /
         coded-sub-block / sig-flag accounting in scan order.  Returns
-        (q raster (35,n,n), tu_bits (35,)).
+        (q raster (n_modes,n,n), tu_bits (n_modes,)).
         """
         c = size_consts[n]
         N = n * n
@@ -340,7 +437,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         inv_sg = jnp.asarray(c["inv_sg"])
         sig0 = jnp.asarray(c["sig0"])
         sig1 = jnp.asarray(c["sig1"])
-        flat = coeff.reshape(35, N)
+        flat = coeff.reshape(n_modes, N)
         cs = jnp.take_along_axis(flat, sg, axis=1)        # scan order
         sign = jnp.sign(cs)
         ldf = jnp.abs(cs).astype(jnp.float32) * float(qscale)
@@ -364,12 +461,12 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
 
         # Structure-aware TU rate of the decided levels.
         i = jnp.arange(N)
-        last = jnp.max(jnp.where(lvl > 0, i[None], -1), axis=1)    # (35,)
+        last = jnp.max(jnp.where(lvl > 0, i[None], -1), axis=1)  # (n_modes,)
         cbf = last >= 0
         sig_paid = i[None] < last[:, None]
         ncg = max(N // 16, 1)
         if ncg > 1:
-            cgnz = jnp.any((lvl > 0).reshape(35, ncg, 16), axis=2)
+            cgnz = jnp.any((lvl > 0).reshape(n_modes, ncg, 16), axis=2)
             lastcg = last >> 4
             cgi = jnp.arange(ncg)
             csb_paid = jnp.logical_and(cgi[None] > 0,
@@ -383,7 +480,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
             sig_paid = jnp.logical_and(
                 sig_paid, jnp.repeat(cg_coded, 16, axis=1))
         else:
-            csb_bits = jnp.zeros((35,), jnp.float32)
+            csb_bits = jnp.zeros((n_modes,), jnp.float32)
         sig_bits = jnp.sum(
             jnp.where(sig_paid,
                       jnp.where(lvl > 0, sig1, sig0), 0.0), axis=1)
@@ -411,9 +508,9 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         # this in the RDOQ tail (TComTrQuant.cpp:2533-2660); we pick the
         # cheapest +/-1 adjustment under the same cost model.
         ncg16 = max(N // 16, 1)
-        lvr = lvl.reshape(35, ncg16, 16)
-        sgr = sign.reshape(35, ncg16, 16)
-        ldr = ldf.reshape(35, ncg16, 16)
+        lvr = lvl.reshape(n_modes, ncg16, 16)
+        sgr = sign.reshape(n_modes, ncg16, 16)
+        ldr = ldf.reshape(n_modes, ncg16, 16)
         pos = jnp.arange(16)
         nzr = lvr > 0
         firstp = jnp.min(jnp.where(nzr, pos, 16), axis=2)
@@ -442,18 +539,44 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         onehot = (pos[None, None] == pick[..., None]).astype(jnp.int32)
         lvr = lvr + jnp.where(mismatch[..., None], onehot * delta[..., None],
                               0)
-        lvl = lvr.reshape(35, N)
+        lvl = lvr.reshape(n_modes, N)
         # Rate effect: one sign bit saved per hidden CG (the +/-1 level
         # adjustment's own cost is second-order for mode ranking).
         tu_bits = tu_bits - jnp.sum(
             jnp.where(span_ok, 1.0, 0.0), axis=1)
 
         q_scan = sign * lvl
-        q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(35, n, n)
+        q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(n_modes, n, n)
         return q, tu_bits
 
+    def nn_predict(n, recon, by, bx):
+        """Batched-on-device normative PNN prediction for one n x n unit.
+
+        Context slices from the evolving reconstruction, masked by the
+        static strip tables, through the deterministic quantized forward —
+        the device analog of `nn_intra.PnnPredictor.predict` (bit-exact with
+        it by integer-accumulation invariance)."""
+        c = size_consts[n]
+        y, x = by * n, bx * n
+        ok = jnp.asarray(c["nn_ok"])[by, bx]
+        am = jnp.asarray(c["nn_amask"])[by, bx]
+        lmk = jnp.asarray(c["nn_lmask"])[by, bx]
+        mean = c["nn_mean"]
+        above_pix = jax.lax.dynamic_slice(recon, (y - n, x - n), (n, 3 * n))
+        left_pix = jax.lax.dynamic_slice(recon, (y, x - n), (2 * n, n))
+        above_f = (above_pix.astype(jnp.float32) - mean) * am[None, :]
+        left_f = (left_pix.astype(jnp.float32) - mean) * lmk[:, None]
+        if c["nn_fc"]:
+            inp = jnp.concatenate([above_f.reshape(1, -1),
+                                   left_f.reshape(1, -1)], axis=1)
+        else:
+            inp = (above_f[None, :, :, None], left_f[None, :, :, None])
+        pred = pnn_q.predict_pixels_q(c["nn_q"], inp, n, c["nn_fc"], mean)[0]
+        # Context unavailable -> zero prediction (TComPrediction.cpp:645-663).
+        return jnp.where(ok, pred, 0)
+
     def encode_unit(n, frame, recon, mode8, by, bx):
-        """35-mode trial of one n x n unit; returns (cost, mode, rec, q).
+        """n_modes-mode trial of one n x n unit; returns (cost, mode, rec, q).
 
         cost = SSE + lambda * (mode + calibrated TU bits), excluding
         structure flags (added by the caller per tree option)."""
@@ -464,6 +587,17 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         preds_f = predict35(n, f_top, f_left)
         uf = jnp.asarray(c["use_filt"])[:, None, None]
         preds = jnp.where(uf, preds_f, preds_u)
+        if n in nn_widths:
+            nn_pred = nn_predict(n, recon, by, bx)
+            if policy == "substitution":
+                preds = preds.at[18].set(nn_pred)
+            else:
+                preds = jnp.concatenate([preds, nn_pred[None]], axis=0)
+        elif n_modes == 36:
+            # Switch without a model at this width: PNNS decodes to the
+            # zero prediction (never competitive, but normative).
+            preds = jnp.concatenate(
+                [preds, jnp.zeros((1, n, n), jnp.int32)], axis=0)
         y, x = by * n, bx * n
         orig = jax.lax.dynamic_slice(frame, (y, x), (n, n)).astype(jnp.int32)
         resi = orig[None] - preds
@@ -695,7 +829,11 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         # Scratch rows at the bottom absorb masked writes: scalar .at sets
         # need 1 row, block dynamic_update_slice needs room for the largest
         # update (JAX clamps starts, so short pads would corrupt real rows).
-        recon = jnp.zeros((height + CTB, width), jnp.int32) + zero
+        # Right padding (PADW) keeps the NN context slices (above portion
+        # reaches x + 2n - 1) in-bounds without start-clamp shifts; the pad
+        # is never written and the strip masks zero anything beyond the
+        # picture.
+        recon = jnp.zeros((height + CTB, width + PADW), jnp.int32) + zero
         mode8 = jnp.full((h8 + 4, w8), 1, jnp.int32) + zero
         m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
         q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
@@ -715,7 +853,8 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         state = jax.lax.fori_loop(0, n_steps, step, state)
         (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
          m32, q32, s32) = state
-        return (recon[:height], m8[:h8], q8[:h8], s8[:h8], m4[:h4], q4[:h4],
+        return (recon[:height, :width], m8[:h8], q8[:h8], s8[:h8], m4[:h4],
+                q4[:h4],
                 m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
                 s32[:nby])
 
@@ -723,12 +862,21 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
 
 
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
-                            serialize: bool = True, lam_scale: float = 1.0):
-    """CTB-32 quadtree wavefront encode -> EncodeResult (own bitstream)."""
+                            serialize: bool = True, lam_scale: float = 1.0,
+                            policy: str = "regular", pnn=None):
+    """CTB-32 quadtree wavefront encode -> EncodeResult (own bitstream).
+
+    `policy` in {regular, substitution, switch}; NN policies take `pnn` as a
+    `PnnBundle` (with quantized models) or a `PnnPredictor` wrapping one.
+    The resulting streams decode bit-exactly through the sequential host
+    decoders (`codec.decoder`, `codec.hm_decoder`) — the quantized normative
+    forward makes batched-device and per-TU-host predictions identical.
+    """
     import jax.numpy as jnp
 
+    bundle = getattr(pnn, "bundle", pnn)
     h, w = frame_uint8.shape
-    run = _jitted_wavefront2(h, w, qp, lam_scale)
+    run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle)
     (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = (
         np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
 
@@ -790,7 +938,7 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
     bitstream = b""
     if serialize:
         bitstream = enc_mod.serialize_trees(
-            trees, width=w, height=h, qp=qp, policy="regular", ctu_size=CTB,
+            trees, width=w, height=h, qp=qp, policy=policy, ctu_size=CTB,
             sign_hiding=True)
     return enc_mod.EncodeResult(
         bitstream=bitstream,
@@ -799,22 +947,27 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
         ctu_trees=trees,
         mode_map=mode_map,
         qp=qp,
-        policy="regular",
+        policy=policy,
     )
 
 
 def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
                                loop_filters: bool = True,
-                               lam_scale: float = 1.0):
+                               lam_scale: float = 1.0,
+                               policy: str = "regular", pnn=None):
     """Wavefront-v2 device encode -> standard Annex-B HEVC stream (CTB 32).
 
     Deblock + SAO are normative post-passes for All-Intra; decoded-picture-
-    hash SEI embedded.  Returns (annexb_stream, EncodeResult)."""
+    hash SEI embedded.  Returns (annexb_stream, EncodeResult).  NN-policy
+    streams use the reference's extended syntax (substitution: unchanged
+    container, PNN semantics on mode 18; switch: leading PNNS bin) and
+    decode through `codec.hm_decoder` with the same bundle."""
     from ..codec import deblock, hm_encoder
     from ..codec import sao as sao_mod
 
     res = encode_frame_wavefront2(frame_uint8, qp, serialize=False,
-                                  lam_scale=lam_scale)
+                                  lam_scale=lam_scale, policy=policy,
+                                  pnn=pnn)
     h, w = frame_uint8.shape
     sao_grid = None
     if loop_filters:

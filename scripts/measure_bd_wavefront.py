@@ -1,14 +1,23 @@
 """BD-rate of the TPU wavefront encoders' HM-conformant streams vs
-HM-16.15 (NAL-exact).
+HM-16.15 (NAL-exact), optionally with the NEURAL policies on-device.
 
 The wavefront paths trade RD for massive throughput (whole-frame XLA
 program); this publishes the quality cost of that trade next to the speed:
 v1 = fixed 16x16 grid, v2 = CTB-32 with an on-device quadtree 32->16->8.
 
+With policy=substitution/switch the device encoder runs the quantized PNN
+batched inside the wavefront program (the reference's per-TB Session::Run
+restructured, `TComPrediction.cpp:556-607`); every stream is decoded back
+through the sequential host decoder and asserted bit-exact, so the BD
+numbers are for decodable normative streams.  Reported: BD vs HM-16.15 and
+BD vs the regular-policy wavefront (the isolated on-device NN coding gain).
+
 Usage: measure_bd_wavefront.py [parkscene|rgb_library] [v1|v2]
+                               [regular|substitution|switch]
 """
 
 import json
+import pickle
 import sys
 
 import numpy as np
@@ -20,20 +29,74 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from context_adaptive_neural_network_based_prediction_tpu.codec import (
-    hm_decoder)
+    hm_decoder, nn_intra)
 from context_adaptive_neural_network_based_prediction_tpu.evaluation import (
     hm_driver)
+from context_adaptive_neural_network_based_prediction_tpu.models import zoo
 from context_adaptive_neural_network_based_prediction_tpu.parallel import (
     wavefront, wavefront2)
 from context_adaptive_neural_network_based_prediction_tpu.utils import metrics
 from scripts.forced_structure_probe import hm_encode
 
 QPS = [22, 27, 32, 37, 42]
+OWN_MEAN_PKL = "artifacts/training_set/luminance/means/mean_training.pkl"
+
+
+def load_bundle():
+    with open(OWN_MEAN_PKL, "rb") as f:
+        own_mean = float(pickle.load(f))
+    with open("/root/reference/sets/results/training_set/means/luminance/"
+              "mean_training.pkl", "rb") as f:
+        ref_mean = float(pickle.load(f, encoding="latin1"))
+    bundle = zoo.load_codec_bundle(
+        "artifacts/frozen/manifest_trained.txt", own_mean,
+        quantized_manifest_path="artifacts/frozen/manifest_quantized.txt")
+    # Shipped-reference 4/8 FC models were trained with the reference mean;
+    # the frozen manifest's 4/8 entries are locally trained (own mean).
+    del ref_mean
+    return bundle
+
+
+def run_points(frame, ver, policy, bundle):
+    h, w = frame.shape
+    pts = []
+    for qp in QPS:
+        if ver == "v2":
+            stream, res = wavefront2.encode_frame_wavefront2_hm(
+                frame, qp, policy=policy,
+                pnn=bundle if policy != "regular" else None)
+        else:
+            assert policy == "regular", "v1 has no NN path"
+            stream, res = wavefront.encode_frame_wavefront_hm(frame, qp)
+        kw = {}
+        if policy != "regular":
+            kw = dict(policy=policy, pnn=nn_intra.PnnPredictor(bundle),
+                      use_native="never")
+        hd = hm_decoder.decode_hm_stream(stream, **kw)
+        assert hd.hash_checked and hd.hash_ok
+        assert np.array_equal(hd.reconstruction, res.reconstruction)
+        pts.append((len(stream) * 8 / (h * w),
+                    float(metrics.compute_psnr(frame, hd.reconstruction))))
+        print(f"  QP{qp}: {pts[-1][0]:.5f} bpp {pts[-1][1]:.3f} dB",
+              flush=True)
+    return pts
+
+
+def bd_table(ref, test):
+    def bd(lo, hi):
+        return metrics.compute_bjontegaard(
+            np.array([p[0] for p in ref[lo:hi]]),
+            np.array([p[1] for p in ref[lo:hi]]),
+            np.array([p[0] for p in test[lo:hi]]),
+            np.array([p[1] for p in test[lo:hi]]))
+
+    return {"low": bd(0, 3), "high": bd(2, 5), "full": bd(0, 5)}
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "parkscene"
     ver = sys.argv[2] if len(sys.argv) > 2 else "v2"
+    policy = sys.argv[3] if len(sys.argv) > 3 else "regular"
     if which == "parkscene":
         # 416x224: multiple of 32 for the v2 CTB grid.
         frame = hm_driver.load_luminance(
@@ -43,35 +106,30 @@ def main():
         frame = hm_driver.load_luminance(
             "/root/reference/hevc/pseudo_data/rgb_library.jpg")[:384, :384]
     h, w = frame.shape
-    ours, hm = [], []
+
+    bundle = load_bundle() if policy != "regular" else None
+    print(f"{which} {ver} policy={policy}:")
+    ours = run_points(frame, ver, policy, bundle)
+    hm = []
     for qp in QPS:
-        if ver == "v2":
-            stream, res = wavefront2.encode_frame_wavefront2_hm(frame, qp)
-        else:
-            stream, res = wavefront.encode_frame_wavefront_hm(frame, qp)
-        hd = hm_decoder.decode_hm_stream(stream)
-        assert hd.hash_checked and hd.hash_ok
-        ours.append((len(stream) * 8 / (h * w),
-                     float(metrics.compute_psnr(frame, hd.reconstruction))))
         hm_stream, hm_rec = hm_encode(frame, qp)
         hm.append((len(hm_stream) * 8 / (h * w),
                    float(metrics.compute_psnr(frame, hm_rec))))
-        print(f"QP{qp}: wavefront {ours[-1][0]:.5f} bpp {ours[-1][1]:.3f} dB"
-              f" | HM {hm[-1][0]:.5f} bpp {hm[-1][1]:.3f} dB", flush=True)
 
-    def bd(lo, hi):
-        return metrics.compute_bjontegaard(
-            np.array([p[0] for p in hm[lo:hi]]),
-            np.array([p[1] for p in hm[lo:hi]]),
-            np.array([p[0] for p in ours[lo:hi]]),
-            np.array([p[1] for p in ours[lo:hi]]))
-
-    out = {"low": bd(0, 3), "high": bd(2, 5), "full": bd(0, 5),
-           "wavefront": ours, "hm": hm, "qps": QPS, "frame": which,
-           "version": ver}
-    print(json.dumps({k: out[k] for k in ("low", "high", "full")}, indent=1))
-    with open(f"artifacts/bd_wavefront_{ver}_{which}.json", "w") as f:
+    out = {"vs_hm": bd_table(hm, ours), "wavefront": ours, "hm": hm,
+           "qps": QPS, "frame": which, "version": ver, "policy": policy}
+    if policy != "regular":
+        print("  regular-policy wavefront baseline:")
+        reg = run_points(frame, ver, "regular", None)
+        out["vs_wavefront_regular"] = bd_table(reg, ours)
+        out["wavefront_regular"] = reg
+    print(json.dumps({k: out[k] for k in out
+                      if k.startswith("vs_")}, indent=1))
+    suffix = "" if policy == "regular" else f"_{policy}"
+    path = f"artifacts/bd_wavefront_{ver}{suffix}_{which}.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
+    print(f"-> {path}")
 
 
 if __name__ == "__main__":
