@@ -109,3 +109,64 @@ def encode_frame_tiled_halo(frame_uint8: np.ndarray, qp: int, mesh, *,
     modes = np.asarray(modes_t).reshape(h // n, w // n)
     qcoeffs = np.asarray(qcoeffs_t).reshape(h // n, w // n, n, n)
     return recon.astype(np.uint8), modes, qcoeffs
+
+
+def encode_frame_tiled_halo_v2(frame_uint8: np.ndarray, qp: int, mesh, *,
+                               axis: str = "data", policy: str = "regular",
+                               pnn=None, serialize: bool = False):
+    """Sharded RD-grade (wavefront2 quadtree) encode with halo exchange.
+
+    Stripes of CTB rows run the global wavefront2 schedule per device and
+    `ppermute` their bottom CTB-row of reconstruction down the mesh each
+    step (a full CTB because NN context portions reach `n` rows above a
+    block).  Output — modes, levels, reconstruction, and the serialized
+    stream — is BIT-EXACT vs the single-device `encode_frame_wavefront2`,
+    including the neural policies (the quantized normative forward is
+    reduction-order invariant, so resharding cannot perturb it).
+
+    Returns an `EncodeResult` (bitstream empty unless `serialize`).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from . import wavefront2
+
+    h, w = frame_uint8.shape
+    n_tiles = mesh.shape[axis]
+    ctb = wavefront2.CTB
+    if h % (n_tiles * ctb) or w % ctb:
+        raise ValueError(
+            "frame must split into whole-CTB-row stripes per device")
+    tile_h = h // n_tiles
+
+    bundle = getattr(pnn, "bundle", pnn)
+    run = wavefront2._jitted_wavefront2(
+        tile_h, w, qp, 1.0, policy, bundle, halo_axis=axis, n_tiles=n_tiles)
+
+    def per_tile(tile):
+        outs = run(tile.reshape(tile_h, w))
+        return tuple(o[None] for o in outs)
+
+    # out_specs: every output gains a leading sharded tile axis.
+    sharded = shard_map(
+        per_tile, mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=tuple(P(axis, *([None] * nd)) for nd in
+                        (2, 2, 4, 2, 2, 4, 2, 4, 2, 2, 4, 2)),
+    )
+    frame_dev = jax.device_put(
+        jnp.asarray(frame_uint8), NamedSharding(mesh, P(axis, None)))
+    outs = jax.jit(sharded)(frame_dev)
+    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = (
+        np.asarray(o) for o in outs)
+
+    def merge(a):
+        # (n_tiles, 1, per-tile rows, ...) -> (global rows, ...)
+        return a.reshape((-1,) + a.shape[2:])
+
+    arrays = tuple(merge(a) for a in
+                   (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32))
+    return wavefront2._arrays_to_result(frame_uint8, qp, arrays, policy,
+                                        serialize)

@@ -181,18 +181,37 @@ _W2_CACHE: dict = {}
 
 def _jitted_wavefront2(height: int, width: int, qp: int,
                        lam_scale: float = 1.0, policy: str = "regular",
-                       bundle=None):
-    key = (height, width, qp, lam_scale, policy, id(bundle))
+                       bundle=None, halo_axis: str | None = None,
+                       n_tiles: int = 1):
+    key = (height, width, qp, lam_scale, policy, id(bundle), halo_axis,
+           n_tiles)
     hit = _W2_CACHE.get(key)
     if hit is not None:
         return hit[0]
-    run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle)
+    run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
+                            halo_axis, n_tiles)
     _W2_CACHE[key] = (run, bundle)   # keep bundle alive so id() stays valid
     return run
 
 
 def _build_wavefront2(height: int, width: int, qp: int,
-                      lam_scale: float, policy: str, bundle):
+                      lam_scale: float, policy: str, bundle,
+                      halo_axis: str | None = None, n_tiles: int = 1):
+    """Builds the jitted CTB-32 quadtree wavefront encoder.
+
+    With `halo_axis`/`n_tiles` the function is meant to run per-device under
+    `shard_map`: each device encodes a `height`-tall stripe of CTB rows on
+    the GLOBAL wavefront schedule (stripe d offset by 2*d*nby steps) and
+    after every step `ppermute`s its bottom CTB-row of reconstructed pixels
+    down the mesh.  The halo is a full CTB (32 pixel rows) because the NN
+    context portions reach up `n` rows above a block (`extraction_context
+    .cpp`), not just the 1-pixel HM reference line.  Reference-sample and
+    NN-context tables for non-top stripes are the *interior* variants (the
+    stripe-top CTB row behaves like any interior CTB row of the unsharded
+    frame), so the sharded encode is bit-exact vs single-device — the
+    framework's CP/halo analog over ICI for the RD-grade encoder
+    (SURVEY §2.4 last row, §5 long-context analog).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -207,12 +226,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
         raise ValueError("bundle has no quantized models (call .quantize())")
     nn_widths = tuple(sorted(w for w in qmodels if w in (4, 8, 16, 32)))
     n_modes = 36 if policy == "switch" else 35
+    top = CTB if halo_axis else 0     # halo pixel rows above the stripe
 
     if height % CTB or width % CTB:
         raise ValueError("wavefront2 needs frame dims that are multiples "
                          "of 32 (crop/pad first)")
     nbx, nby = width // CTB, height // CTB
-    n_steps = (nbx - 1) + 2 * (nby - 1) + 1
+    n_steps = (nbx - 1) + 2 * (nby * n_tiles - 1) + 1
     b_max = min(nby, (nbx + 1) // 2 + 1)
     # lam_scale compensates the static rate model's systematic underestimate
     # of real CABAC bits (no context adaptation): decisions use a stiffer
@@ -229,7 +249,19 @@ def _build_wavefront2(height: int, width: int, qp: int,
             [False if m == 1 else
              min(abs(m - 10), abs(m - 26)) > rs.FILTER_THRESHOLD[n]
              for m in range(35)])
+        # Gather tables with a leading "variant" axis: [0] = frame-boundary
+        # (top stripe / unsharded), [1] = interior (stripe-top CTB row sees
+        # a coded CTB row above, delivered through the halo).  Interior
+        # tables are the rows-after-the-first-CTB-row of a one-CTB-taller
+        # frame's tables (offsets are origin-relative, so they transplant).
         tt, tl = _fill_tables(height, width, n)
+        if halo_axis:
+            ti_t, ti_l = _fill_tables(height + CTB, width, n)
+            k = CTB // n
+            tt = np.stack([tt, ti_t[k:]])
+            tl = np.stack([tl, ti_l[k:]])
+        else:
+            tt, tl = tt[None], tl[None]
         log2n = n.bit_length() - 1
         tshift = 15 - 8 - log2n
         sig0, sig1 = rate_model.sig_bits_tables(qp, n)
@@ -262,6 +294,14 @@ def _build_wavefront2(height: int, width: int, qp: int,
         )
         if n in nn_widths:
             ctx_ok, am, lm = _nn_ctx_tables(height, width, n)
+            if halo_axis:
+                k = CTB // n
+                io, ia, il = _nn_ctx_tables(height + CTB, width, n)
+                ctx_ok = np.stack([ctx_ok, io[k:]])
+                am = np.stack([am, ia[k:]])
+                lm = np.stack([lm, il[k:]])
+            else:
+                ctx_ok, am, lm = ctx_ok[None], am[None], lm[None]
             size_consts[n]["nn_ok"] = ctx_ok
             size_consts[n]["nn_amask"] = am
             size_consts[n]["nn_lmask"] = lm
@@ -276,16 +316,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
     SB = rate_model.scalar_bits(qp)
     MODE_BITS = rate_model.mode_bits_table(qp)
 
-    def refs_for(n, recon, by, bx):
+    def refs_for(n, recon, by, bx, sel):
         c = size_consts[n]
-        tt = jnp.asarray(c["tab_top"])[by, bx]
-        tl = jnp.asarray(c["tab_left"])[by, bx]
+        tt = jnp.asarray(c["tab_top"])[sel, by, bx]
+        tl = jnp.asarray(c["tab_left"])[sel, by, bx]
         y, x = by * n, bx * n
 
         def gather(tab):
             dy, dx = tab[0], tab[1]
             ok = dy > -(10 ** 4) // 2
-            sy = jnp.clip(y + dy, 0, height - 1)
+            sy = jnp.clip(y + top + dy, 0, top + height - 1)
             sx = jnp.clip(x + dx, 0, width - 1)
             return jnp.where(ok, recon[sy, sx], 128)
 
@@ -381,7 +421,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
         y, x = by * n, bx * n
         y8, x8 = y // 8, x // 8
         left_mode = jnp.where(x8 > 0, mode8[y8, jnp.maximum(x8 - 1, 0)], 1)
-        above_ok = jnp.logical_and(y8 > 0, (y % CTB) != 0)
+        # The mode map is kept at 8-granularity; for 4x4 sub-blocks whose top
+        # edge is NOT 8-aligned (y % 8 == 4), mode8[y8 - 1] would be the cell
+        # row above the enclosing cell — which crosses the CTB row boundary
+        # for top-cell NxN blocks and is invisible to a halo-sharded stripe.
+        # Gate those to DC so the estimate is identical for every sharding.
+        above_ok = jnp.logical_and(
+            jnp.logical_and(y8 > 0, (y % CTB) != 0), (y % 8) == 0)
         above_mode = jnp.where(above_ok,
                                mode8[jnp.maximum(y8 - 1, 0), x8], 1)
         same = left_mode == above_mode
@@ -406,20 +452,37 @@ def _build_wavefront2(height: int, width: int, qp: int,
                  jnp.full((1,), SB["pnns1"], jnp.float32)])
         return base
 
-    def level_bits(lvl):
-        """Context-init-calibrated bits of a nonzero level (sign included).
+    # All decision-steering rate/distortion REDUCTIONS below run in fixed-
+    # point int32: float reductions are not reduction-order invariant, and
+    # XLA orders them differently in differently-shaped programs (batch
+    # width, shard_map halo variant) - measured as rare 1-ulp cost ties that
+    # flipped mode/structure decisions between the sharded and single-device
+    # encoders.  Integer sums are associative, so every program shape
+    # decides identically.  MB = micro-bits per bit, DS = distortion scale.
+    MB = 256.0
+    DS = 4.0
+    SBI = {k: jnp.int32(round(v * MB)) for k, v in SB.items()}
+
+    def level_mbits(lvl):
+        """Micro-bit (int32) cost of a nonzero level (sign included).
 
         greater1/greater2 flags + the HM Golomb-Rice escape at rice 0
         (syntax._ic_rate structure with c1/c2 available, EG0 tail)."""
         s = lvl - 3
         lf = jnp.maximum(s, 1).astype(jnp.float32)
         golomb = jnp.where(
-            s < 3, s.astype(jnp.float32) + 1.0,
-            4.0 + 2.0 * jnp.floor(jnp.log2(jnp.maximum(lf - 2.0, 1.0))))
-        return 1.0 + jnp.where(
-            lvl == 1, SB["g1_0"],
-            jnp.where(lvl == 2, SB["g1_1"] + SB["g2_0"],
-                      SB["g1_1"] + SB["g2_1"] + golomb))
+            s < 3, s + 1,
+            4 + 2 * jnp.floor(
+                jnp.log2(jnp.maximum(lf - 2.0, 1.0))).astype(jnp.int32))
+        mb = jnp.int32(round(MB)) + jnp.where(
+            lvl == 1, SBI["g1_0"],
+            jnp.where(lvl == 2, SBI["g1_1"] + SBI["g2_0"],
+                      SBI["g1_1"] + SBI["g2_1"]
+                      + golomb * jnp.int32(round(MB))))
+        return mb
+
+    def level_bits(lvl):
+        return level_mbits(lvl).astype(jnp.float32) * (1.0 / MB)
 
     def quantize_rd(n, coeff):
         """Vectorized RDOQ-lite + structure-aware TU rate.
@@ -459,7 +522,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
         nz = jnp.logical_and(ma > 0, cost_nz < cost0)
         lvl = jnp.where(nz, lvl_nz, 0.0).astype(jnp.int32)
 
-        # Structure-aware TU rate of the decided levels.
+        # Structure-aware TU rate of the decided levels (micro-bit int32
+        # sums: reduction-order invariant, see MB/DS note above).
+        sig0_i = jnp.round(sig0 * MB).astype(jnp.int32)
+        sig1_i = jnp.round(sig1 * MB).astype(jnp.int32)
         i = jnp.arange(N)
         last = jnp.max(jnp.where(lvl > 0, i[None], -1), axis=1)  # (n_modes,)
         cbf = last >= 0
@@ -471,30 +537,38 @@ def _build_wavefront2(height: int, width: int, qp: int,
             cgi = jnp.arange(ncg)
             csb_paid = jnp.logical_and(cgi[None] > 0,
                                        cgi[None] < lastcg[:, None])
-            csb_bits = jnp.sum(
+            csb_mb = jnp.sum(
                 jnp.where(csb_paid,
-                          jnp.where(cgnz, SB["csb1"], SB["csb0"]), 0.0),
+                          jnp.where(cgnz, SBI["csb1"], SBI["csb0"]), 0),
                 axis=1)
             cg_coded = (cgi[None] == 0) | (cgi[None] == lastcg[:, None]) \
                 | cgnz
             sig_paid = jnp.logical_and(
                 sig_paid, jnp.repeat(cg_coded, 16, axis=1))
         else:
-            csb_bits = jnp.zeros((n_modes,), jnp.float32)
-        sig_bits = jnp.sum(
+            csb_mb = jnp.zeros((n_modes,), jnp.int32)
+        sig_mb = jnp.sum(
             jnp.where(sig_paid,
-                      jnp.where(lvl > 0, sig1, sig0), 0.0), axis=1)
-        lvl_bits = jnp.sum(jnp.where(lvl > 0, level_bits(lvl), 0.0), axis=1)
+                      jnp.where(lvl > 0, sig1_i, sig0_i), 0), axis=1)
+        lvl_mb = jnp.sum(jnp.where(lvl > 0, level_mbits(lvl), 0), axis=1)
         last_raster = jnp.take_along_axis(
             sg, jnp.maximum(last, 0)[:, None], axis=1)[:, 0]
-        lb = (jnp.asarray(c["lastx"])[last_raster % n]
-              + jnp.asarray(c["lasty"])[last_raster // n])
-        bits_coded = SB["cbf1"] + lb + csb_bits + sig_bits + lvl_bits
-        # All-zero option: compare in the coeff-distortion domain.
-        d_coded = jnp.sum(jnp.where(lvl > 0,
-                                    (ldf - lvl.astype(jnp.float32) * qstep)
-                                    ** 2 * c["err_scale"], d0), axis=1)
-        zero_cost = jnp.sum(d0, axis=1) + lam * SB["cbf0"]
+        lastx_i = jnp.round(jnp.asarray(c["lastx"]) * MB).astype(jnp.int32)
+        lasty_i = jnp.round(jnp.asarray(c["lasty"]) * MB).astype(jnp.int32)
+        lb_mb = lastx_i[last_raster % n] + lasty_i[last_raster // n]
+        mb_coded = SBI["cbf1"] + lb_mb + csb_mb + sig_mb + lvl_mb
+        bits_coded = mb_coded.astype(jnp.float32) * (1.0 / MB)
+        # All-zero option: compare in the coeff-distortion domain, with the
+        # per-coefficient distortions snapped to the DS grid (elementwise)
+        # so the sums are exact int32.
+        dc_el = jnp.where(lvl > 0,
+                          (ldf - lvl.astype(jnp.float32) * qstep) ** 2
+                          * c["err_scale"], d0)
+        d_coded = jnp.sum(jnp.round(dc_el * DS).astype(jnp.int32),
+                          axis=1).astype(jnp.float32) * (1.0 / DS)
+        d_zero = jnp.sum(jnp.round(d0 * DS).astype(jnp.int32),
+                         axis=1).astype(jnp.float32) * (1.0 / DS)
+        zero_cost = d_zero + lam * SB["cbf0"]
         keep = jnp.logical_and(
             cbf, d_coded + lam * bits_coded < zero_cost)
         lvl = jnp.where(keep[:, None], lvl, 0)
@@ -543,13 +617,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # Rate effect: one sign bit saved per hidden CG (the +/-1 level
         # adjustment's own cost is second-order for mode ranking).
         tu_bits = tu_bits - jnp.sum(
-            jnp.where(span_ok, 1.0, 0.0), axis=1)
+            jnp.where(span_ok, 1, 0), axis=1).astype(jnp.float32)
 
         q_scan = sign * lvl
         q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(n_modes, n, n)
         return q, tu_bits
 
-    def nn_predict(n, recon, by, bx):
+    def nn_predict(n, recon, by, bx, sel):
         """Batched-on-device normative PNN prediction for one n x n unit.
 
         Context slices from the evolving reconstruction, masked by the
@@ -557,10 +631,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
         the device analog of `nn_intra.PnnPredictor.predict` (bit-exact with
         it by integer-accumulation invariance)."""
         c = size_consts[n]
-        y, x = by * n, bx * n
-        ok = jnp.asarray(c["nn_ok"])[by, bx]
-        am = jnp.asarray(c["nn_amask"])[by, bx]
-        lmk = jnp.asarray(c["nn_lmask"])[by, bx]
+        y, x = by * n + top, bx * n
+        ok = jnp.asarray(c["nn_ok"])[sel, by, bx]
+        am = jnp.asarray(c["nn_amask"])[sel, by, bx]
+        lmk = jnp.asarray(c["nn_lmask"])[sel, by, bx]
         mean = c["nn_mean"]
         above_pix = jax.lax.dynamic_slice(recon, (y - n, x - n), (n, 3 * n))
         left_pix = jax.lax.dynamic_slice(recon, (y, x - n), (2 * n, n))
@@ -575,20 +649,20 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # Context unavailable -> zero prediction (TComPrediction.cpp:645-663).
         return jnp.where(ok, pred, 0)
 
-    def encode_unit(n, frame, recon, mode8, by, bx):
+    def encode_unit(n, frame, recon, mode8, by, bx, sel=0):
         """n_modes-mode trial of one n x n unit; returns (cost, mode, rec, q).
 
         cost = SSE + lambda * (mode + calibrated TU bits), excluding
         structure flags (added by the caller per tree option)."""
         c = size_consts[n]
-        ref_top, ref_left = refs_for(n, recon, by, bx)
+        ref_top, ref_left = refs_for(n, recon, by, bx, sel)
         f_top, f_left = filter_refs(n, ref_top, ref_left)
         preds_u = predict35(n, ref_top, ref_left)
         preds_f = predict35(n, f_top, f_left)
         uf = jnp.asarray(c["use_filt"])[:, None, None]
         preds = jnp.where(uf, preds_f, preds_u)
         if n in nn_widths:
-            nn_pred = nn_predict(n, recon, by, bx)
+            nn_pred = nn_predict(n, recon, by, bx, sel)
             if policy == "substitution":
                 preds = preds.at[18].set(nn_pred)
             else:
@@ -621,10 +695,17 @@ def _build_wavefront2(height: int, width: int, qp: int,
     def step(t, state):
         (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16, s16,
          m32, q32, s32) = state
+        if halo_axis is not None:
+            d = jax.lax.axis_index(halo_axis)
+            t_loc = t - 2 * nby * d     # global schedule, stripe offset
+            sel = jnp.where(d > 0, 1, 0)
+        else:
+            t_loc = t
+            sel = 0
         slots = jnp.arange(b_max)
-        by0 = jnp.maximum(0, -((nbx - 1 - t) // 2))
+        by0 = jnp.maximum(0, -((nbx - 1 - t_loc) // 2))
         by_ids = by0 + slots
-        bx_ids = t - 2 * by_ids
+        bx_ids = t_loc - 2 * by_ids
         valid = (by_ids < nby) & (bx_ids >= 0) & (bx_ids < nbx)
         cby = jnp.minimum(by_ids, nby - 1)
         cbx = jnp.clip(bx_ids, 0, nbx - 1)
@@ -634,7 +715,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
         h16, w16 = height // 16, width // 16
 
         def commit_rec(recon_, rec, yy, xx, ok):
-            yy = jnp.where(ok, yy, height)
+            yy = jnp.where(ok, yy + top, height + top)
             xx = jnp.where(ok, xx, 0)
             return jax.lax.dynamic_update_slice(recon_, rec, (yy, xx))
 
@@ -650,8 +731,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             def enc4(slot):
                 b4y = (cby[slot] * 4 + zdy) * 2 + sdy
                 b4x = (cbx[slot] * 4 + zdx) * 2 + sdx
-                return (encode_unit(4, frame, recon_, mode8_, b4y, b4x)
-                        + (b4y, b4x))
+                return (encode_unit(4, frame, recon_, mode8_, b4y, b4x,
+                                    sel) + (b4y, b4x))
 
             c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
 
@@ -679,8 +760,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             def enc8(slot):
                 b8y = cby[slot] * 4 + zdy2
                 b8x = cbx[slot] * 4 + zdx2
-                return (encode_unit(8, frame, recon_, mode8_, b8y, b8x)
-                        + (b8y, b8x))
+                return (encode_unit(8, frame, recon_, mode8_, b8y, b8x,
+                                    sel) + (b8y, b8x))
 
             cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
 
@@ -738,8 +819,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             def enc16(slot):
                 b16y = cby[slot] * 2 + qdy
                 b16x = cbx[slot] * 2 + qdx
-                return (encode_unit(16, frame, recon_, mode8_, b16y, b16x)
-                        + (b16y, b16x))
+                return (encode_unit(16, frame, recon_, mode8_, b16y,
+                                    b16x, sel) + (b16y, b16x))
 
             cost16, mode16, rec16, qq16, b16y, b16x = jax.vmap(enc16)(slots)
 
@@ -747,7 +828,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 b8y = cby[slot] * 4 + qdy * 2
                 b8x = cbx[slot] * 4 + qdx * 2
                 sub = jax.lax.dynamic_slice(c8_, (b8y, b8x), (2, 2))
-                return jnp.sum(sub)
+                # Fixed-order adds (a 4-way float reduce is not guaranteed
+                # order-stable across program shapes).
+                return ((sub[0, 0] + sub[0, 1]) + sub[1, 0]) + sub[1, 1]
 
             # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs pay
             # split1 (their part_size flags are inside c8 already).
@@ -784,12 +867,14 @@ def _build_wavefront2(height: int, width: int, qp: int,
             jax.lax.scan(
                 quad_body,
                 (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-                 jnp.zeros((b_max,), jnp.float32)),
+                 jnp.zeros((b_max,), jnp.float32)
+                 + frame[0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
 
         # --- 32x32 candidate ---
         def enc32(slot):
-            return encode_unit(32, frame, recon, mode8, cby[slot], cbx[slot])
+            return encode_unit(32, frame, recon, mode8, cby[slot],
+                               cbx[slot], sel)
 
         cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
         cost_quads = qsum + lam * SB["split1"]
@@ -816,10 +901,23 @@ def _build_wavefront2(height: int, width: int, qp: int,
         recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
             0, b_max, commit32, (recon, mode8, m32, q32, s32))
 
+        if halo_axis is not None:
+            # Causal halo over ICI: each stripe's bottom CTB-row of
+            # reconstructed pixels flows to the stripe below after every
+            # step.  A CTB of the last stripe row is final at the end of
+            # the step that visited it, two global steps before the stripe
+            # below reads it - the one-step ppermute latency is in time.
+            bottom = jax.lax.dynamic_slice(
+                recon, (top + height - CTB, 0), (CTB, width + PADW))
+            recv = jax.lax.ppermute(
+                bottom, halo_axis, [(i, i + 1) for i in range(n_tiles - 1)])
+            keep = jax.lax.dynamic_slice(recon, (0, 0), (CTB, width + PADW))
+            new_halo = jnp.where(d == 0, keep, recv)
+            recon = jax.lax.dynamic_update_slice(recon, new_halo, (0, 0))
+
         return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
                 s16, m32, q32, s32)
 
-    @jax.jit
     def run(frame_u8):
         frame = frame_u8.astype(jnp.int32)
         zero = frame[0, 0] * 0
@@ -833,7 +931,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # reaches x + 2n - 1) in-bounds without start-clamp shifts; the pad
         # is never written and the strip masks zero anything beyond the
         # picture.
-        recon = jnp.zeros((height + CTB, width + PADW), jnp.int32) + zero
+        recon = jnp.zeros((top + height + CTB, width + PADW),
+                          jnp.int32) + zero
         mode8 = jnp.full((h8 + 4, w8), 1, jnp.int32) + zero
         m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
         q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
@@ -853,12 +952,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
         state = jax.lax.fori_loop(0, n_steps, step, state)
         (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
          m32, q32, s32) = state
-        return (recon[:height, :width], m8[:h8], q8[:h8], s8[:h8], m4[:h4],
-                q4[:h4],
+        return (recon[top:top + height, :width], m8[:h8], q8[:h8],
+                s8[:h8], m4[:h4], q4[:h4],
                 m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
                 s32[:nby])
 
-    return run
+    return run if halo_axis is not None else jax.jit(run)
 
 
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
@@ -877,9 +976,14 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
     bundle = getattr(pnn, "bundle", pnn)
     h, w = frame_uint8.shape
     run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle)
-    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = (
-        np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
+    arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
+    return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize)
 
+
+def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize):
+    """Device output grids -> CuNode trees (+ optional CABAC serialization)."""
+    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = arrays
+    h, w = frame_uint8.shape
     trees = []
     mode_map = np.full((h // 4, w // 4), -1, np.int32)
 
@@ -949,6 +1053,51 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
         qp=qp,
         policy=policy,
     )
+
+
+_W2_BATCH_CACHE: dict = {}
+
+
+def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle):
+    import jax
+
+    key = (height, width, qp, lam_scale, policy, id(bundle))
+    hit = _W2_BATCH_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle)
+    batched = jax.jit(jax.vmap(run))
+    _W2_BATCH_CACHE[key] = (batched, bundle)
+    return batched
+
+
+def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
+                                   lam_scale: float = 1.0,
+                                   policy: str = "regular", pnn=None,
+                                   serialize: bool = False):
+    """Encodes a BATCH of frames through one vmapped wavefront2 program.
+
+    The sustained-throughput serving mode: the wavefront's sequential
+    z-order/quadtree sub-stages are latency-bound at batch 1 (tiny tensors
+    on a chip built for big ones); batching B independent frames multiplies
+    every sub-stage's work by B at the same sequential depth, so device
+    throughput approaches compute-bound.  Host CABAC packing (optional
+    `serialize`) runs per frame after the device pass and overlaps the next
+    batch in a production pipeline.
+
+    Returns a list of `EncodeResult` (bitstreams empty unless `serialize`).
+    """
+    import jax.numpy as jnp
+
+    bundle = getattr(pnn, "bundle", pnn)
+    b, h, w = frames_uint8.shape
+    run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle)
+    arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frames_uint8)))
+    return [
+        _arrays_to_result(frames_uint8[i], qp,
+                          tuple(a[i] for a in arrays), policy, serialize)
+        for i in range(b)
+    ]
 
 
 def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,

@@ -24,9 +24,17 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# Default: CPU (deterministic, no tunnel dependency).  CANP_BD_PLATFORM=axon
+# runs the device encodes on the real TPU; the host decode + bit-exactness
+# assertions still run in numpy, so a passing run PROVES the TPU-encoded
+# streams decode bit-exactly on the host — the quantized normative forward
+# and integer decision sums make encode platform-independent by design.
+jax.config.update("jax_platforms",
+                  os.environ.get("CANP_BD_PLATFORM", "cpu"))
 
 from context_adaptive_neural_network_based_prediction_tpu.codec import (
     hm_decoder, nn_intra)
@@ -43,18 +51,19 @@ OWN_MEAN_PKL = "artifacts/training_set/luminance/means/mean_training.pkl"
 
 
 def load_bundle():
+    """The codec zoo: shipped reference conv 4/8 (800k steps, reference
+    training mean) + locally trained 16/32 single+pair and 64 single (local
+    mean), with the frozen quantized normative twins."""
     with open(OWN_MEAN_PKL, "rb") as f:
         own_mean = float(pickle.load(f))
     with open("/root/reference/sets/results/training_set/means/luminance/"
               "mean_training.pkl", "rb") as f:
         ref_mean = float(pickle.load(f, encoding="latin1"))
-    bundle = zoo.load_codec_bundle(
-        "artifacts/frozen/manifest_trained.txt", own_mean,
+    means = {4: ref_mean, 8: ref_mean, 16: own_mean, 32: own_mean,
+             64: own_mean}
+    return zoo.load_codec_bundle(
+        "artifacts/frozen/manifest_trained.txt", means,
         quantized_manifest_path="artifacts/frozen/manifest_quantized.txt")
-    # Shipped-reference 4/8 FC models were trained with the reference mean;
-    # the frozen manifest's 4/8 entries are locally trained (own mean).
-    del ref_mean
-    return bundle
 
 
 def run_points(frame, ver, policy, bundle):

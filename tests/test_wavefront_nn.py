@@ -75,3 +75,27 @@ def test_device_nn_prediction_matches_host_predictor(bundle, frame):
                                               pnn=bundle)
     assert np.array_equal(res.reconstruction, res2.reconstruction)
     assert res.bitstream == res2.bitstream
+
+
+def test_wavefront2_halo_bit_exact_regular_and_switch(bundle, frame):
+    """Sharded (halo-exchange) wavefront2 == single-device BIT-EXACTLY,
+    including the NN switch policy (VERDICT r2 task 3).  The quantized
+    normative forward + integer decision sums make the encoder's choices
+    independent of program shape, so resharding cannot perturb streams."""
+    import jax
+
+    from context_adaptive_neural_network_based_prediction_tpu.parallel import (
+        mesh as mesh_mod, tiled, wavefront2)
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = mesh_mod.make_mesh({"data": 4}, devices[:4])
+    f128 = np.vstack([frame[:, :64], frame[:, :64]])  # 128x64: 4 stripes
+    for policy, pnn_arg in (("regular", None), ("switch", bundle)):
+        sh = tiled.encode_frame_tiled_halo_v2(f128, 32, mesh, policy=policy,
+                                              pnn=pnn_arg, serialize=True)
+        single = wavefront2.encode_frame_wavefront2(f128, 32, policy=policy,
+                                                    pnn=pnn_arg)
+        assert np.array_equal(sh.reconstruction, single.reconstruction), policy
+        assert sh.bitstream == single.bitstream, policy
