@@ -41,6 +41,10 @@ def main():
     p.add_argument("--chunk", type=parsing.int_strictly_positive, default=100,
                    help="training steps fused into one device dispatch "
                         "(amortizes dispatch latency on remote-attached TPUs)")
+    p.add_argument("--dp", type=parsing.int_strictly_positive, default=1,
+                   help="data-parallel mesh width (devices along 'data')")
+    p.add_argument("--tp", type=parsing.int_strictly_positive, default=1,
+                   help="tensor-parallel mesh width (devices along 'model')")
     args = p.parse_args()
 
     import jax
@@ -52,6 +56,20 @@ def main():
                                   args.channel, args.coeff_l2, args.coeff_grad,
                                   args.masks)
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.dp * args.tp > 1:
+        # Multi-chip: the production DP x TP sharded path.
+        from ..parallel import mesh as mesh_mod, sharded_training
+
+        mesh = mesh_mod.make_mesh({"data": args.dp, "model": args.tp},
+                                  jax.devices()[:args.dp * args.tp])
+        sharded_training.train_sharded(
+            mesh, args.shards, w, is_fc, args.mean, out_dir,
+            iters=args.iters, batch_size=args.batch_size, chunk=args.chunk,
+            snapshot_every=args.snapshot_every, coeff_l2=args.coeff_l2,
+            coeff_grad=args.coeff_grad,
+            log=lambda m: print(m, flush=True))
+        return
 
     ckpt, start = training.find_latest_checkpoint(out_dir)
     if ckpt:

@@ -196,3 +196,55 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+def test_production_sharded_chunk_trains():
+    """The DP x TP production chunk (`make_sharded_train_chunk`) actually
+    TRAINS: several fused sharded updates reduce the loss on a learnable
+    synthetic mapping, state.step advances, params stay sharded."""
+    import jax
+    import numpy as np
+
+    from context_adaptive_neural_network_based_prediction_tpu.parallel import (
+        mesh as mesh_mod, sharded_training)
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    mesh = mesh_mod.make_mesh({"data": 2, "model": 2}, devices[:4])
+    w, bs, k = 4, 8, 10
+    init_fn, chunk_fn = sharded_training.make_sharded_train_chunk(
+        mesh, w, True, mean_training=128.0)
+    state = init_fn(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+
+    def make_chunk():
+        # Learnable content: smooth gradients, target = continuation.
+        above = np.zeros((k, bs, w, 3 * w, 1), np.uint8)
+        left = np.zeros((k, bs, 2 * w, w, 1), np.uint8)
+        tgt = np.zeros((k, bs, w, w, 1), np.uint8)
+        for i in range(k):
+            for b in range(bs):
+                base = rng.uniform(50, 200)
+                gx, gy = rng.normal(0, 3, 2)
+                yy, xx = np.mgrid[0:2 * w, 0:3 * w]
+                patch = np.clip(base + gx * xx + gy * yy, 0, 255)
+                above[i, b, :, :, 0] = patch[:w, :]
+                left[i, b, :, :, 0] = patch[:, :w]
+                tyy, txx = np.mgrid[w:2 * w, w:2 * w]
+                tgt[i, b, :, :, 0] = np.clip(base + gx * txx + gy * tyy,
+                                             0, 255)
+        return above, left, tgt
+
+    a, l, t = make_chunk()
+    state, losses0 = chunk_fn(state, jax.random.PRNGKey(1), a, l, t)
+    first = float(losses0[0])
+    for i in range(4):
+        a, l, t = make_chunk()
+        state, losses = chunk_fn(state, jax.random.PRNGKey(2 + i), a, l, t)
+    last = float(losses[-1])
+    assert int(jax.device_get(state.step)) == 5 * k
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
