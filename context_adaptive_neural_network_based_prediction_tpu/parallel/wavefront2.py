@@ -62,44 +62,36 @@ PADW = 32           # right padding of the recon plane for NN context slices
 PNNS_MODE = 35
 
 
-@functools.lru_cache(maxsize=None)
-def _coding_order8(height: int, width: int):
-    """Coding-order index of every 8x8 cell (CTB raster + z-order inside)."""
-    h8, w8 = height // 8, width // 8
-    order = np.zeros((h8, w8), np.int64)
-    idx = 0
-    for cy in range(0, height, CTB):
-        for cx in range(0, width, CTB):
-            for q in range(4):          # 16x16 quadrants in z-order
-                qx, qy = cx + (q & 1) * 16, cy + (q >> 1) * 16
-                for z in range(4):      # 8x8 cells in z-order
-                    zx, zy = qx + (z & 1) * 8, qy + (z >> 1) * 8
-                    order[zy // 8, zx // 8] = idx
-                    idx += 1
-    return order
+def _z_offsets(ctb: int, cell: int):
+    """(dy, dx) of every `cell`-sized unit inside a `ctb` CTB, in z-order."""
+    if ctb == cell:
+        return [(0, 0)]
+    out = []
+    half = ctb // 2
+    for q in range(4):
+        qy, qx = (q >> 1) * half, (q & 1) * half
+        out.extend((qy + dy, qx + dx) for dy, dx in _z_offsets(half, cell))
+    return out
 
 
 @functools.lru_cache(maxsize=None)
-def _coding_order4(height: int, width: int):
-    """Coding-order index of every 4x4 cell (z-order to depth 3: NxN PUs)."""
+def _coding_order4(height: int, width: int, ctb: int = CTB):
+    """Coding-order index of every 4x4 cell (CTB raster + z-order inside,
+    down to 4x4 NxN-PU granularity)."""
     h4, w4 = height // 4, width // 4
     order = np.zeros((h4, w4), np.int64)
     idx = 0
-    for cy in range(0, height, CTB):
-        for cx in range(0, width, CTB):
-            for q in range(4):          # 16x16 quadrants in z-order
-                qx, qy = cx + (q & 1) * 16, cy + (q >> 1) * 16
-                for z in range(4):      # 8x8 cells in z-order
-                    zx, zy = qx + (z & 1) * 8, qy + (z >> 1) * 8
-                    for s in range(4):  # 4x4 sub-blocks in z-order
-                        sx, sy = zx + (s & 1) * 4, zy + (s >> 1) * 4
-                        order[sy // 4, sx // 4] = idx
-                        idx += 1
+    offs = _z_offsets(ctb, 4)
+    for cy in range(0, height, ctb):
+        for cx in range(0, width, ctb):
+            for dy, dx in offs:
+                order[(cy + dy) // 4, (cx + dx) // 4] = idx
+                idx += 1
     return order
 
 
 @functools.lru_cache(maxsize=None)
-def _fill_tables(height: int, width: int, n: int):
+def _fill_tables(height: int, width: int, n: int, ctb: int = CTB):
     """Per-position reference-sample gather tables for n x n blocks.
 
     Returns int32 arrays (nby, nbx, 2, 2n+1): [0] = dy, [1] = dx relative to
@@ -107,7 +99,7 @@ def _fill_tables(height: int, width: int, n: int):
     running the golden-tested host fill on an id-coded image, so the device
     gather reproduces HM's availability + substitution rules bit-exactly.
     """
-    order4 = _coding_order4(height, width)
+    order4 = _coding_order4(height, width, ctb)
     nby, nbx = height // n, width // n
     # Pixel ids offset past any DC_FILL (=128) value so the fill's DC
     # substitutions are distinguishable from copied/replicated samples.
@@ -141,7 +133,7 @@ def _fill_tables(height: int, width: int, n: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _nn_ctx_tables(height: int, width: int, n: int):
+def _nn_ctx_tables(height: int, width: int, n: int, ctb: int = CTB):
     """Static PNN-context availability tables for n x n units.
 
     Returns (ctx_ok (nby,nbx) bool, above_mask (nby,nbx,3n) f32,
@@ -150,7 +142,7 @@ def _nn_ctx_tables(height: int, width: int, n: int):
     and the per-4-sample-strip copy gating of `extraction_context.cpp`,
     derived from coding order exactly like the host `extract_context` flags.
     """
-    order4 = _coding_order4(height, width)
+    order4 = _coding_order4(height, width, ctb)
     nby, nbx = height // n, width // n
     n_units = (2 * n) // 4
     ctx_ok = np.zeros((nby, nbx), bool)
@@ -182,21 +174,22 @@ _W2_CACHE: dict = {}
 def _jitted_wavefront2(height: int, width: int, qp: int,
                        lam_scale: float = 1.0, policy: str = "regular",
                        bundle=None, halo_axis: str | None = None,
-                       n_tiles: int = 1):
+                       n_tiles: int = 1, ctb: int = CTB):
     key = (height, width, qp, lam_scale, policy, id(bundle), halo_axis,
-           n_tiles)
+           n_tiles, ctb)
     hit = _W2_CACHE.get(key)
     if hit is not None:
         return hit[0]
     run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                            halo_axis, n_tiles)
+                            halo_axis, n_tiles, ctb)
     _W2_CACHE[key] = (run, bundle)   # keep bundle alive so id() stays valid
     return run
 
 
 def _build_wavefront2(height: int, width: int, qp: int,
                       lam_scale: float, policy: str, bundle,
-                      halo_axis: str | None = None, n_tiles: int = 1):
+                      halo_axis: str | None = None, n_tiles: int = 1,
+                      ctb: int = CTB):
     """Builds the jitted CTB-32 quadtree wavefront encoder.
 
     With `halo_axis`/`n_tiles` the function is meant to run per-device under
@@ -226,14 +219,21 @@ def _build_wavefront2(height: int, width: int, qp: int,
         raise ValueError("bundle has no quantized models (call .quantize())")
     nn_widths = tuple(sorted(w for w in qmodels if w in (4, 8, 16, 32)))
     n_modes = 36 if policy == "switch" else 35
+    if ctb not in (32, 64):
+        raise ValueError("ctb must be 32 or 64")
+    if ctb == 64 and halo_axis is not None:
+        raise NotImplementedError("halo sharding currently ships for CTB 32")
     top = CTB if halo_axis else 0     # halo pixel rows above the stripe
 
-    if height % CTB or width % CTB:
-        raise ValueError("wavefront2 needs frame dims that are multiples "
-                         "of 32 (crop/pad first)")
+    if height % ctb or width % ctb:
+        raise ValueError(f"wavefront2 needs frame dims that are multiples "
+                         f"of {ctb} (crop/pad first)")
+    # nbx/nby: the 32-block grid (quadtree root below the optional 64 level).
     nbx, nby = width // CTB, height // CTB
-    n_steps = (nbx - 1) + 2 * (nby * n_tiles - 1) + 1
-    b_max = min(nby, (nbx + 1) // 2 + 1)
+    # Schedule grid: CTBs of the configured size.
+    sbx, sby = width // ctb, height // ctb
+    n_steps = (sbx - 1) + 2 * (sby * n_tiles - 1) + 1
+    b_max = min(sby, (sbx + 1) // 2 + 1)
     # lam_scale compensates the static rate model's systematic underestimate
     # of real CABAC bits (no context adaptation): decisions use a stiffer
     # lambda so the operating point lands on HM's rate.
@@ -254,9 +254,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # a coded CTB row above, delivered through the halo).  Interior
         # tables are the rows-after-the-first-CTB-row of a one-CTB-taller
         # frame's tables (offsets are origin-relative, so they transplant).
-        tt, tl = _fill_tables(height, width, n)
+        tt, tl = _fill_tables(height, width, n, ctb)
         if halo_axis:
-            ti_t, ti_l = _fill_tables(height + CTB, width, n)
+            ti_t, ti_l = _fill_tables(height + CTB, width, n, ctb)
             k = CTB // n
             tt = np.stack([tt, ti_t[k:]])
             tl = np.stack([tl, ti_l[k:]])
@@ -293,10 +293,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
             sg=sgather[mode_scan], inv_sg=inv_gather[mode_scan],
         )
         if n in nn_widths:
-            ctx_ok, am, lm = _nn_ctx_tables(height, width, n)
+            ctx_ok, am, lm = _nn_ctx_tables(height, width, n, ctb)
             if halo_axis:
                 k = CTB // n
-                io, ia, il = _nn_ctx_tables(height + CTB, width, n)
+                io, ia, il = _nn_ctx_tables(height + CTB, width, n, ctb)
                 ctx_ok = np.stack([ctx_ok, io[k:]])
                 am = np.stack([am, ia[k:]])
                 lm = np.stack([lm, il[k:]])
@@ -427,7 +427,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # for top-cell NxN blocks and is invisible to a halo-sharded stripe.
         # Gate those to DC so the estimate is identical for every sharding.
         above_ok = jnp.logical_and(
-            jnp.logical_and(y8 > 0, (y % CTB) != 0), (y % 8) == 0)
+            jnp.logical_and(y8 > 0, (y % ctb) != 0), (y % 8) == 0)
         above_mode = jnp.where(above_ok,
                                mode8[jnp.maximum(y8 - 1, 0), x8], 1)
         same = left_mode == above_mode
@@ -693,22 +693,27 @@ def _build_wavefront2(height: int, width: int, qp: int,
         return jnp.where(valid, by, grid_h), jnp.where(valid, bx, 0)
 
     def step(t, state):
-        (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16, s16,
-         m32, q32, s32) = state
+        if ctb == 64:
+            (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
+             s16, m32, q32, s32, m64, q64, s64) = state
+        else:
+            (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
+             s16, m32, q32, s32) = state
         if halo_axis is not None:
             d = jax.lax.axis_index(halo_axis)
-            t_loc = t - 2 * nby * d     # global schedule, stripe offset
+            t_loc = t - 2 * sby * d     # global schedule, stripe offset
             sel = jnp.where(d > 0, 1, 0)
         else:
             t_loc = t
             sel = 0
         slots = jnp.arange(b_max)
-        by0 = jnp.maximum(0, -((nbx - 1 - t_loc) // 2))
+        # Wavefront schedule over the configured CTB grid (sby, sbx).
+        by0 = jnp.maximum(0, -((sbx - 1 - t_loc) // 2))
         by_ids = by0 + slots
         bx_ids = t_loc - 2 * by_ids
-        valid = (by_ids < nby) & (bx_ids >= 0) & (bx_ids < nbx)
-        cby = jnp.minimum(by_ids, nby - 1)
-        cbx = jnp.clip(bx_ids, 0, nbx - 1)
+        valid = (by_ids < sby) & (bx_ids >= 0) & (bx_ids < sbx)
+        scby = jnp.minimum(by_ids, sby - 1)
+        scbx = jnp.clip(bx_ids, 0, sbx - 1)
 
         h4 = height // 4
         h8, w8 = height // 8, width // 8
@@ -723,183 +728,355 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # Python loops): the per-step HLO holds ONE instance of each
         # encode_unit size instead of 85, which keeps XLA compile time and
         # program size bounded (NOTES_ROUND1 §4 compile-budget issue).
-        def s4_body(sc, s4):
-            """One 4x4 NxN sub-block (z-order chain inside an 8x8 cell)."""
-            recon_, m4_, q4_, cost_nxn, last_m4, mode8_, zdx, zdy = sc
-            sdx, sdy = s4 & 1, s4 >> 1
+        # `encode_ctb32` is the complete 32-root quadtree pipeline for the
+        # slot vectors (cby, cbx) in 32-grid coordinates: the whole CTB body
+        # when ctb == 32, one z-quadrant of a 64 CTB when ctb == 64 (a
+        # 64x64 2Nx2N candidate then competes with the four quadrants).
+        def encode_ctb32(carry, cby, cbx):
+            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+             m32, q32, s32) = carry
 
-            def enc4(slot):
-                b4y = (cby[slot] * 4 + zdy) * 2 + sdy
-                b4x = (cbx[slot] * 4 + zdx) * 2 + sdx
-                return (encode_unit(4, frame, recon_, mode8_, b4y, b4x,
-                                    sel) + (b4y, b4x))
+            def s4_body(sc, s4):
+                """One 4x4 NxN sub-block (z-order chain inside an 8x8 cell)."""
+                recon_, m4_, q4_, cost_nxn, last_m4, mode8_, zdx, zdy = sc
+                sdx, sdy = s4 & 1, s4 >> 1
 
-            c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
+                def enc4(slot):
+                    b4y = (cby[slot] * 4 + zdy) * 2 + sdy
+                    b4x = (cbx[slot] * 4 + zdx) * 2 + sdx
+                    return (encode_unit(4, frame, recon_, mode8_, b4y, b4x,
+                                        sel) + (b4y, b4x))
 
-            def commit4(i, st):
-                rc, mm, qq = st
-                ok = valid[i]
-                rc = commit_rec(rc, rec4[i], b4y[i] * 4, b4x[i] * 4, ok)
-                r4, c4_ = masked_at(b4y[i], b4x[i], ok, h4)
-                mm = mm.at[r4, c4_].set(m4b[i])
-                qq = qq.at[r4, c4_].set(q4b[i])
-                return rc, mm, qq
+                c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
 
-            recon_, m4_, q4_ = jax.lax.fori_loop(
-                0, b_max, commit4, (recon_, m4_, q4_))
-            return (recon_, m4_, q4_, cost_nxn + c4, m4b, mode8_, zdx,
-                    zdy), None
+                def commit4(i, st):
+                    rc, mm, qq = st
+                    ok = valid[i]
+                    rc = commit_rec(rc, rec4[i], b4y[i] * 4, b4x[i] * 4, ok)
+                    r4, c4_ = masked_at(b4y[i], b4x[i], ok, h4)
+                    mm = mm.at[r4, c4_].set(m4b[i])
+                    qq = qq.at[r4, c4_].set(q4b[i])
+                    return rc, mm, qq
 
-        def z_body(zc, z):
-            """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
-            TEncSearch.cpp:2295-2303)."""
-            recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx, qdy = zc
-            zdx2 = qdx * 2 + (z & 1)
-            zdy2 = qdy * 2 + (z >> 1)
+                recon_, m4_, q4_ = jax.lax.fori_loop(
+                    0, b_max, commit4, (recon_, m4_, q4_))
+                return (recon_, m4_, q4_, cost_nxn + c4, m4b, mode8_, zdx,
+                        zdy), None
 
-            def enc8(slot):
-                b8y = cby[slot] * 4 + zdy2
-                b8x = cbx[slot] * 4 + zdx2
-                return (encode_unit(8, frame, recon_, mode8_, b8y, b8x,
-                                    sel) + (b8y, b8x))
+            def z_body(zc, z):
+                """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
+                TEncSearch.cpp:2295-2303)."""
+                recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx, qdy = zc
+                zdx2 = qdx * 2 + (z & 1)
+                zdy2 = qdy * 2 + (z >> 1)
 
-            cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
+                def enc8(slot):
+                    b8y = cby[slot] * 4 + zdy2
+                    b8x = cbx[slot] * 4 + zdx2
+                    return (encode_unit(8, frame, recon_, mode8_, b8y, b8x,
+                                        sel) + (b8y, b8x))
 
-            # NxN: 4x4s predict from the evolving reconstruction (the
-            # decoder reconstructs them in the same z-order); if 2Nx2N wins,
-            # its rec overwrites the whole cell, so the temporary 4x4
-            # commits never leak outside it.
-            (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = jax.lax.scan(
-                s4_body,
-                (recon_, m4_, q4_, jnp.zeros_like(cost8),
-                 jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
-                jnp.arange(4))
+                cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
 
-            use2n = (cost8 + lam * SB["part_2nx2n"]
-                     < cost_nxn + lam * SB["part_nxn"])
-            cell_cost = jnp.where(
-                use2n, cost8 + lam * SB["part_2nx2n"],
-                cost_nxn + lam * SB["part_nxn"])
+                # NxN: 4x4s predict from the evolving reconstruction (the
+                # decoder reconstructs them in the same z-order); if 2Nx2N
+                # wins, its rec overwrites the whole cell, so the temporary
+                # 4x4 commits never leak outside it.
+                (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = \
+                    jax.lax.scan(
+                        s4_body,
+                        (recon_, m4_, q4_, jnp.zeros_like(cost8),
+                         jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
+                        jnp.arange(4))
 
-            def commit_cell(i, st):
-                rc, md, m8x, q8x, c8x, s8x = st
-                ok = valid[i]
-                ok2n = jnp.logical_and(ok, use2n[i])
-                rc = commit_rec(rc, rec8[i], b8y[i] * 8, b8x[i] * 8, ok2n)
-                r, cc = masked_at(b8y[i], b8x[i], ok, h8)
-                # MPM context at 8-granularity: the 2Nx2N mode, or the
-                # bottom-right 4x4's mode when NxN wins.
-                md = md.at[r, cc].set(
-                    jnp.where(use2n[i], mode8b[i], last_m4[i]))
-                m8x = m8x.at[r, cc].set(mode8b[i])
-                q8x = q8x.at[r, cc].set(q8b[i])
-                c8x = c8x.at[r, cc].set(cell_cost[i])
-                s8x = s8x.at[r, cc].set(
-                    jnp.where(use2n[i], 0, 1).astype(jnp.int32))
-                return rc, md, m8x, q8x, c8x, s8x
+                use2n = (cost8 + lam * SB["part_2nx2n"]
+                         < cost_nxn + lam * SB["part_nxn"])
+                cell_cost = jnp.where(
+                    use2n, cost8 + lam * SB["part_2nx2n"],
+                    cost_nxn + lam * SB["part_nxn"])
 
-            recon_, mode8_, m8_, q8_, c8_, s8_ = jax.lax.fori_loop(
-                0, b_max, commit_cell,
-                (recon_, mode8_, m8_, q8_, c8_, s8_))
-            return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
-                    qdy), None
+                def commit_cell(i, st):
+                    rc, md, m8x, q8x, c8x, s8x = st
+                    ok = valid[i]
+                    ok2n = jnp.logical_and(ok, use2n[i])
+                    rc = commit_rec(rc, rec8[i], b8y[i] * 8, b8x[i] * 8,
+                                    ok2n)
+                    r, cc = masked_at(b8y[i], b8x[i], ok, h8)
+                    # MPM context at 8-granularity: the 2Nx2N mode, or the
+                    # bottom-right 4x4's mode when NxN wins.
+                    md = md.at[r, cc].set(
+                        jnp.where(use2n[i], mode8b[i], last_m4[i]))
+                    m8x = m8x.at[r, cc].set(mode8b[i])
+                    q8x = q8x.at[r, cc].set(q8b[i])
+                    c8x = c8x.at[r, cc].set(cell_cost[i])
+                    s8x = s8x.at[r, cc].set(
+                        jnp.where(use2n[i], 0, 1).astype(jnp.int32))
+                    return rc, md, m8x, q8x, c8x, s8x
 
-        def quad_body(qc, quad):
-            (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_, q16_, s16_,
-             qsum) = qc
-            qdx, qdy = quad & 1, quad >> 1
+                recon_, mode8_, m8_, q8_, c8_, s8_ = jax.lax.fori_loop(
+                    0, b_max, commit_cell,
+                    (recon_, mode8_, m8_, q8_, c8_, s8_))
+                return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
+                        qdy), None
 
-            (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, _, _), _ = \
-                jax.lax.scan(
-                    z_body,
-                    (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
-                     qdy),
+            def quad_body(qc, quad):
+                (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_, q16_,
+                 s16_, qsum) = qc
+                qdx, qdy = quad & 1, quad >> 1
+
+                (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, _, _), _ = \
+                    jax.lax.scan(
+                        z_body,
+                        (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
+                         qdy),
+                        jnp.arange(4))
+
+                def enc16(slot):
+                    b16y = cby[slot] * 2 + qdy
+                    b16x = cbx[slot] * 2 + qdx
+                    return (encode_unit(16, frame, recon_, mode8_, b16y,
+                                        b16x, sel) + (b16y, b16x))
+
+                cost16, mode16, rec16, qq16, b16y, b16x = \
+                    jax.vmap(enc16)(slots)
+
+                def sum8(slot):
+                    b8y = cby[slot] * 4 + qdy * 2
+                    b8x = cbx[slot] * 4 + qdx * 2
+                    sub = jax.lax.dynamic_slice(c8_, (b8y, b8x), (2, 2))
+                    # Fixed-order adds (a 4-way float reduce is not
+                    # guaranteed order-stable across program shapes).
+                    return ((sub[0, 0] + sub[0, 1]) + sub[1, 0]) + sub[1, 1]
+
+                # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs
+                # pay split1 (their part_size flags are inside c8 already).
+                cost8s = jax.vmap(sum8)(slots) + lam * SB["split1"]
+                cost16f = cost16 + lam * SB["split0"]
+                use16 = cost16f < cost8s
+                qcost_q = jnp.where(use16, cost16f, cost8s)
+
+                def commit16(i, st):
+                    rc, md, m16x, q16x, s16x = st
+                    ok = valid[i]
+                    ok16 = jnp.logical_and(ok, use16[i])
+                    rc = commit_rec(rc, rec16[i], b16y[i] * 16,
+                                    b16x[i] * 16, ok16)
+                    r, cc = masked_at(b16y[i], b16x[i], ok, h16)
+                    m16x = m16x.at[r, cc].set(mode16[i])
+                    q16x = q16x.at[r, cc].set(qq16[i])
+                    s16x = s16x.at[r, cc].set(
+                        jnp.where(use16[i], 0, 1).astype(jnp.int32))
+                    # Decided modes at 8-granularity feed later MPMs.
+                    r8, c8_0 = masked_at(b16y[i] * 2, b16x[i] * 2, ok16, h8)
+                    mfill = jnp.full((2, 2), mode16[i], jnp.int32)
+                    md = jax.lax.dynamic_update_slice(
+                        md, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
+                            md, (r8, c8_0), (2, 2))), (r8, c8_0))
+                    return rc, md, m16x, q16x, s16x
+
+                recon_, mode8_, m16_, q16_, s16_ = jax.lax.fori_loop(
+                    0, b_max, commit16, (recon_, mode8_, m16_, q16_, s16_))
+                return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_,
+                        q16_, s16_, qsum + qcost_q), None
+
+            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16, qsum), _ \
+                = jax.lax.scan(
+                    quad_body,
+                    (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+                     jnp.zeros((b_max,), jnp.float32)
+                     + frame[0, 0].astype(jnp.float32) * 0),
                     jnp.arange(4))
 
-            def enc16(slot):
-                b16y = cby[slot] * 2 + qdy
-                b16x = cbx[slot] * 2 + qdx
-                return (encode_unit(16, frame, recon_, mode8_, b16y,
-                                    b16x, sel) + (b16y, b16x))
+            # --- 32x32 candidate ---
+            def enc32(slot):
+                return encode_unit(32, frame, recon, mode8, cby[slot],
+                                   cbx[slot], sel)
 
-            cost16, mode16, rec16, qq16, b16y, b16x = jax.vmap(enc16)(slots)
+            cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
+            cost_quads = qsum + lam * SB["split1"]
+            cost32f = cost32 + lam * SB["split0"]
+            use32 = cost32f < cost_quads
+            c32_best = jnp.where(use32, cost32f, cost_quads)
 
-            def sum8(slot):
-                b8y = cby[slot] * 4 + qdy * 2
-                b8x = cbx[slot] * 4 + qdx * 2
-                sub = jax.lax.dynamic_slice(c8_, (b8y, b8x), (2, 2))
-                # Fixed-order adds (a 4-way float reduce is not guaranteed
-                # order-stable across program shapes).
-                return ((sub[0, 0] + sub[0, 1]) + sub[1, 0]) + sub[1, 1]
-
-            # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs pay
-            # split1 (their part_size flags are inside c8 already).
-            cost8s = jax.vmap(sum8)(slots) + lam * SB["split1"]
-            cost16f = cost16 + lam * SB["split0"]
-            use16 = cost16f < cost8s
-            qcost_q = jnp.where(use16, cost16f, cost8s)
-
-            def commit16(i, st):
-                rc, md, m16x, q16x, s16x = st
+            def commit32(i, st):
+                recon_, mode8_, m32_, q32_, s32_ = st
                 ok = valid[i]
-                ok16 = jnp.logical_and(ok, use16[i])
-                rc = commit_rec(rc, rec16[i], b16y[i] * 16, b16x[i] * 16,
-                                ok16)
-                r, cc = masked_at(b16y[i], b16x[i], ok, h16)
-                m16x = m16x.at[r, cc].set(mode16[i])
-                q16x = q16x.at[r, cc].set(qq16[i])
-                s16x = s16x.at[r, cc].set(
-                    jnp.where(use16[i], 0, 1).astype(jnp.int32))
-                # Decided modes at 8-granularity feed later MPMs.
-                r8, c8_0 = masked_at(b16y[i] * 2, b16x[i] * 2, ok16, h8)
-                mfill = jnp.full((2, 2), mode16[i], jnp.int32)
-                md = jax.lax.dynamic_update_slice(
-                    md, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
-                        md, (r8, c8_0), (2, 2))), (r8, c8_0))
-                return rc, md, m16x, q16x, s16x
+                ok32 = jnp.logical_and(ok, use32[i])
+                recon_ = commit_rec(recon_, rec32[i],
+                                    cby[i] * 32, cbx[i] * 32, ok32)
+                r, cc = masked_at(cby[i], cbx[i], ok, nby)
+                m32_ = m32_.at[r, cc].set(mode32[i])
+                q32_ = q32_.at[r, cc].set(qq32[i])
+                s32_ = s32_.at[r, cc].set(
+                    jnp.where(use32[i], 0, 1).astype(jnp.int32))
+                r8, c8_0 = masked_at(cby[i] * 4, cbx[i] * 4, ok32, h8)
+                mfill = jnp.full((4, 4), mode32[i], jnp.int32)
+                mode8_ = jax.lax.dynamic_update_slice(
+                    mode8_, jnp.where(ok32, mfill, jax.lax.dynamic_slice(
+                        mode8_, (r8, c8_0), (4, 4))), (r8, c8_0))
+                return recon_, mode8_, m32_, q32_, s32_
 
-            recon_, mode8_, m16_, q16_, s16_ = jax.lax.fori_loop(
-                0, b_max, commit16, (recon_, mode8_, m16_, q16_, s16_))
-            return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_,
-                    q16_, s16_, qsum + qcost_q), None
+            recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
+                0, b_max, commit32, (recon, mode8, m32, q32, s32))
 
-        (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16, qsum), _ = \
-            jax.lax.scan(
-                quad_body,
-                (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-                 jnp.zeros((b_max,), jnp.float32)
+            return (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+                    m32, q32, s32), c32_best
+
+        carry = (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+                 m32, q32, s32)
+        if ctb == 32:
+            carry, _ = encode_ctb32(carry, scby, scbx)
+            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+             m32, q32, s32) = carry
+        else:
+            # --- CTB 64: four 32-quadrants in z-order, then a 64x64
+            #     2Nx2N candidate (one signalled mode, four forced TU32s
+            #     reconstructed per-TU exactly like HM's intra CU64,
+            #     TEncCu.cpp:248 recursion / intra_main_rext.cfg depth 4) ---
+            def quad64_body(qc, quad):
+                carry, csum = qc
+                qdx, qdy = quad & 1, quad >> 1
+                carry, c32_best = encode_ctb32(
+                    carry, scby * 2 + qdy, scbx * 2 + qdx)
+                return (carry, csum + c32_best), None
+
+            (carry, csum64), _ = jax.lax.scan(
+                quad64_body,
+                (carry, jnp.zeros((b_max,), jnp.float32)
                  + frame[0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
+            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
+             m32, q32, s32) = carry
 
-        # --- 32x32 candidate ---
-        def enc32(slot):
-            return encode_unit(32, frame, recon, mode8, cby[slot],
-                               cbx[slot], sel)
+            c32c = size_consts[32]
+            uf35 = jnp.asarray(c32c["use_filt"])
+            ufm = (jnp.concatenate([uf35, jnp.zeros((1,), bool)])
+                   if n_modes == 36 else uf35)
 
-        cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
-        cost_quads = qsum + lam * SB["split1"]
-        use32 = cost32 + lam * SB["split0"] < cost_quads
+            def predict_mode32(m, ref_top, ref_left):
+                """Mode m's 32x32 prediction from ITS OWN references (the
+                64-CU TU chain evolves per mode, so the all-modes-at-once
+                `predict35` does not apply)."""
+                comb = jnp.concatenate([ref_top, ref_left])
+                mi = jnp.clip(m - 2, 0, 32)
+                g0 = jnp.asarray(c32c["g0"])[mi]
+                g1 = jnp.asarray(c32c["g1"])[mi]
+                fr = jnp.asarray(c32c["frac"])[mi]
+                ang = ((32 - fr) * comb[g0] + fr * comb[g1] + 16) >> 5
+                top_w = ref_top[1:33]
+                left_w = ref_left[1:33]
+                dc = (jnp.sum(top_w) + jnp.sum(left_w) + 32) // 64
+                dc_blk = jnp.full((32, 32), dc, jnp.int32)
+                T = top_w[None, :]
+                L = left_w[:, None]
+                TR = ref_top[33]
+                BL = ref_left[33]
+                xs = jnp.arange(32)[None, :]
+                ys = jnp.arange(32)[:, None]
+                planar = (((L << 5) + 32 + (xs + 1) * (TR - L))
+                          + ((T << 5) + (ys + 1) * (BL - T))) >> 6
+                return jnp.where(m == 0, planar,
+                                 jnp.where(m == 1, dc_blk, ang))
 
-        def commit32(i, st):
-            recon_, mode8_, m32_, q32_, s32_ = st
-            ok = valid[i]
-            ok32 = jnp.logical_and(ok, use32[i])
-            recon_ = commit_rec(recon_, rec32[i],
-                                cby[i] * 32, cbx[i] * 32, ok32)
-            r, cc = masked_at(cby[i], cbx[i], ok, nby)
-            m32_ = m32_.at[r, cc].set(mode32[i])
-            q32_ = q32_.at[r, cc].set(qq32[i])
-            s32_ = s32_.at[r, cc].set(
-                jnp.where(use32[i], 0, 1).astype(jnp.int32))
-            r8, c8_0 = masked_at(cby[i] * 4, cbx[i] * 4, ok32, h8)
-            mfill = jnp.full((4, 4), mode32[i], jnp.int32)
-            mode8_ = jax.lax.dynamic_update_slice(
-                mode8_, jnp.where(ok32, mfill, jax.lax.dynamic_slice(
-                    mode8_, (r8, c8_0), (4, 4))), (r8, c8_0))
-            return recon_, mode8_, m32_, q32_, s32_
+            def enc64(slot):
+                y0 = scby[slot] * 64
+                x0 = scbx[slot] * 64
+                patch = jnp.zeros((n_modes, 64, 64), jnp.int32)
+                qall = jnp.zeros((n_modes, 64, 64), jnp.int32)
+                cost = jnp.zeros((n_modes,), jnp.float32)
+                for tz in range(4):       # static 4-iter python loop
+                    tdy, tdx = (tz >> 1) * 32, (tz & 1) * 32
+                    b32y = scby[slot] * 2 + (tz >> 1)
+                    b32x = scbx[slot] * 2 + (tz & 1)
+                    ty, tx = b32y * 32, b32x * 32
+                    tt = jnp.asarray(c32c["tab_top"])[0, b32y, b32x]
+                    tl = jnp.asarray(c32c["tab_left"])[0, b32y, b32x]
 
-        recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
-            0, b_max, commit32, (recon, mode8, m32, q32, s32))
+                    def gather_pm(tab):
+                        # Composite source: per-mode patch inside the CU,
+                        # committed reconstruction outside (the TU z-order
+                        # coding order equals the plain 32-block order, so
+                        # the same gather tables apply).
+                        dy, dx = tab[0], tab[1]
+                        ok = dy > -(10 ** 4) // 2
+                        sy = jnp.clip(ty + top + dy, 0, top + height - 1)
+                        sx = jnp.clip(tx + dx, 0, width - 1)
+                        out_val = jnp.where(ok, recon[sy, sx], 128)
+                        iy = (ty + dy) - y0
+                        ix = (tx + dx) - x0
+                        inside = (ok & (iy >= 0) & (iy < 64)
+                                  & (ix >= 0) & (ix < 64))
+                        in_val = patch[:, jnp.clip(iy, 0, 63),
+                                       jnp.clip(ix, 0, 63)]
+                        return jnp.where(inside[None], in_val,
+                                         out_val[None])
+
+                    rt = gather_pm(tt)            # (n_modes, 65)
+                    rl = gather_pm(tl)
+                    ft, fl = jax.vmap(
+                        lambda a, b: filter_refs(32, a, b))(rt, rl)
+                    rts = jnp.where(ufm[:, None], ft, rt)
+                    rls = jnp.where(ufm[:, None], fl, rl)
+                    preds = jax.vmap(predict_mode32)(
+                        jnp.arange(n_modes), rts, rls)
+                    orig = jax.lax.dynamic_slice(
+                        frame, (ty, tx), (32, 32)).astype(jnp.int32)
+                    resi = orig[None] - preds
+                    coeff = fwd_t(32, resi)
+                    qq, tu_bits = quantize_rd(32, coeff)
+                    if c32c["iq_shift"] > 0:
+                        deq = ((qq * iq_scale
+                                + (1 << (c32c["iq_shift"] - 1)))
+                               >> c32c["iq_shift"])
+                    else:
+                        deq = (qq * iq_scale) << (-c32c["iq_shift"])
+                    deq = jnp.clip(deq, -32768, 32767)
+                    rec = jnp.clip(preds + inv_t(32, deq), 0, 255)
+                    sse = jnp.sum((rec - orig[None]) ** 2,
+                                  axis=(1, 2)).astype(jnp.float32)
+                    cost = cost + sse + lam * tu_bits
+                    patch = jax.lax.dynamic_update_slice(
+                        patch, rec, (0, tdy, tdx))
+                    qall = jax.lax.dynamic_update_slice(
+                        qall, qq, (0, tdy, tdx))
+                cost = cost + lam * mode_bits_for(mode8, 64, scby[slot],
+                                                  scbx[slot])
+                # The NN candidates are excluded at the 64 level (the
+                # decoder would run the PNN per TU32 against the per-mode
+                # evolving context; not picking them here is a legal
+                # encoder-side restriction).
+                big = jnp.float32(3e38)
+                ids = jnp.arange(n_modes)
+                if policy == "substitution" and 32 in nn_widths:
+                    cost = jnp.where(ids == 18, big, cost)
+                if n_modes == 36:
+                    cost = jnp.where(ids == PNNS_MODE, big, cost)
+                best = jnp.argmin(cost).astype(jnp.int32)
+                return cost[best], best, patch[best], qall[best]
+
+            cost64, mode64, rec64, qq64 = jax.vmap(enc64)(slots)
+            use64 = cost64 + lam * SB["split0"] < csum64 + lam * SB["split1"]
+
+            def commit64(i, st):
+                recon_, mode8_, m64_, q64_, s64_ = st
+                ok = valid[i]
+                ok64 = jnp.logical_and(ok, use64[i])
+                recon_ = commit_rec(recon_, rec64[i],
+                                    scby[i] * 64, scbx[i] * 64, ok64)
+                r, cc = masked_at(scby[i], scbx[i], ok, sby)
+                m64_ = m64_.at[r, cc].set(mode64[i])
+                q64_ = q64_.at[r, cc].set(qq64[i])
+                s64_ = s64_.at[r, cc].set(
+                    jnp.where(use64[i], 0, 1).astype(jnp.int32))
+                r8, c8_0 = masked_at(scby[i] * 8, scbx[i] * 8, ok64, h8)
+                mfill = jnp.full((8, 8), mode64[i], jnp.int32)
+                mode8_ = jax.lax.dynamic_update_slice(
+                    mode8_, jnp.where(ok64, mfill, jax.lax.dynamic_slice(
+                        mode8_, (r8, c8_0), (8, 8))), (r8, c8_0))
+                return recon_, mode8_, m64_, q64_, s64_
+
+            recon, mode8, m64, q64, s64 = jax.lax.fori_loop(
+                0, b_max, commit64, (recon, mode8, m64, q64, s64))
 
         if halo_axis is not None:
             # Causal halo over ICI: each stripe's bottom CTB-row of
@@ -915,6 +1092,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
             new_halo = jnp.where(d == 0, keep, recv)
             recon = jax.lax.dynamic_update_slice(recon, new_halo, (0, 0))
 
+        if ctb == 64:
+            return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16,
+                    c16, s16, m32, q32, s32, m64, q64, s64)
         return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
                 s16, m32, q32, s32)
 
@@ -931,9 +1111,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # reaches x + 2n - 1) in-bounds without start-clamp shifts; the pad
         # is never written and the strip masks zero anything beyond the
         # picture.
-        recon = jnp.zeros((top + height + CTB, width + PADW),
+        recon = jnp.zeros((top + height + ctb, width + PADW),
                           jnp.int32) + zero
-        mode8 = jnp.full((h8 + 4, w8), 1, jnp.int32) + zero
+        mode8 = jnp.full((h8 + ctb // 8, w8), 1, jnp.int32) + zero
         m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
         q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
         c8 = jnp.zeros((h8 + 1, w8), jnp.float32) + zero.astype(jnp.float32)
@@ -949,7 +1129,19 @@ def _build_wavefront2(height: int, width: int, qp: int,
         s32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
         state = (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
                  s16, m32, q32, s32)
+        if ctb == 64:
+            m64 = jnp.zeros((sby + 1, sbx), jnp.int32) + zero
+            q64 = jnp.zeros((sby + 1, sbx, 64, 64), jnp.int32) + zero
+            s64 = jnp.zeros((sby + 1, sbx), jnp.int32) + zero
+            state = state + (m64, q64, s64)
         state = jax.lax.fori_loop(0, n_steps, step, state)
+        if ctb == 64:
+            (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
+             m32, q32, s32, m64, q64, s64) = state
+            return (recon[top:top + height, :width], m8[:h8], q8[:h8],
+                    s8[:h8], m4[:h4], q4[:h4],
+                    m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
+                    s32[:nby], m64[:sby], q64[:sby], s64[:sby])
         (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
          m32, q32, s32) = state
         return (recon[top:top + height, :width], m8[:h8], q8[:h8],
@@ -962,8 +1154,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
 
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
                             serialize: bool = True, lam_scale: float = 1.0,
-                            policy: str = "regular", pnn=None):
-    """CTB-32 quadtree wavefront encode -> EncodeResult (own bitstream).
+                            policy: str = "regular", pnn=None,
+                            ctb: int = CTB):
+    """Quadtree wavefront encode -> EncodeResult (own bitstream).
+
+    `ctb=64` adds the 64x64 CU level (HM's intra_main_rext.cfg CTU 64
+    depth 4: a 64 leaf is one PU with four forced TU32s, reconstructed
+    TU-by-TU like HM).
 
     `policy` in {regular, substitution, switch}; NN policies take `pnn` as a
     `PnnBundle` (with quantized models) or a `PnnPredictor` wrapping one.
@@ -975,25 +1172,32 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
 
     bundle = getattr(pnn, "bundle", pnn)
     h, w = frame_uint8.shape
-    run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle)
+    run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle, ctb=ctb)
     arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
-    return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize)
+    return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
+                             ctb=ctb)
 
 
-def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize):
+def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
+                      ctb: int = CTB):
     """Device output grids -> CuNode trees (+ optional CABAC serialization)."""
-    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = arrays
+    if ctb == 64:
+        (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32,
+         m64, q64, s64) = arrays
+    else:
+        (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = arrays
     h, w = frame_uint8.shape
     trees = []
     mode_map = np.full((h // 4, w // 4), -1, np.int32)
+    d0 = 1 if ctb == 64 else 0      # depth of the 32 level
 
-    def leaf(x, y, n, mode, q):
+    def leaf(x, y, n, mode, q, depth=0):
         cbf = 1 if q.any() else 0
         mode_map[y // 4:(y + n) // 4, x // 4:(x + n) // 4] = mode
         pu = enc_mod.PuRecord(x, y, n, int(mode),
                               [enc_mod.TuRecord(x, y, n, cbf,
                                                 q if cbf else None)])
-        return enc_mod.CuNode(x, y, n, 0, split=False, pus=[pu])
+        return enc_mod.CuNode(x, y, n, depth, split=False, pus=[pu])
 
     def leaf8(x, y):
         """8x8 CU: 2Nx2N leaf, or NxN with four 4x4 PUs (DST TUs)."""
@@ -1011,38 +1215,70 @@ def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize):
                 [enc_mod.TuRecord(sx, sy, 4, cbf, q if cbf else None)]))
         return node
 
-    for by in range(h // CTB):
-        for bx in range(w // CTB):
-            x, y = bx * CTB, by * CTB
-            if not s32[by, bx]:
-                node = leaf(x, y, 32, m32[by, bx], q32[by, bx])
-                node.depth = 0
-                trees.append(node)
-                continue
-            root = enc_mod.CuNode(x, y, 32, 0, split=True)
-            for quad in range(4):
-                qx = x + (quad & 1) * 16
-                qy = y + (quad >> 1) * 16
-                b16y, b16x = qy // 16, qx // 16
-                if not s16[b16y, b16x]:
-                    child = leaf(qx, qy, 16, m16[b16y, b16x],
-                                 q16[b16y, b16x])
-                    child.depth = 1
-                else:
-                    child = enc_mod.CuNode(qx, qy, 16, 1, split=True)
-                    for z in range(4):
-                        zx = qx + (z & 1) * 8
-                        zy = qy + (z >> 1) * 8
-                        g = leaf8(zx, zy)
-                        g.depth = 2
-                        child.children.append(g)
-                root.children.append(child)
-            trees.append(root)
+    def tree32(x, y):
+        """Decided 32-rooted subtree at pixel (x, y), depth-adjusted."""
+        by, bx = y // 32, x // 32
+        if not s32[by, bx]:
+            node = leaf(x, y, 32, m32[by, bx], q32[by, bx])
+            node.depth = d0
+            return node
+        root = enc_mod.CuNode(x, y, 32, d0, split=True)
+        for quad in range(4):
+            qx = x + (quad & 1) * 16
+            qy = y + (quad >> 1) * 16
+            b16y, b16x = qy // 16, qx // 16
+            if not s16[b16y, b16x]:
+                child = leaf(qx, qy, 16, m16[b16y, b16x], q16[b16y, b16x])
+                child.depth = d0 + 1
+            else:
+                child = enc_mod.CuNode(qx, qy, 16, d0 + 1, split=True)
+                for z in range(4):
+                    zx = qx + (z & 1) * 8
+                    zy = qy + (z >> 1) * 8
+                    g = leaf8(zx, zy)
+                    g.depth = d0 + 2
+                    child.children.append(g)
+            root.children.append(child)
+        return root
+
+    if ctb == 64:
+        for by in range(h // 64):
+            for bx in range(w // 64):
+                x, y = bx * 64, by * 64
+                if not s64[by, bx]:
+                    # 64x64 2Nx2N PU with the forced TU32 quadtree split
+                    # (MAX_TU = 32; serializer/decoder derive it, no flags).
+                    mode = int(m64[by, bx])
+                    q = q64[by, bx]
+                    mode_map[y // 4:(y + 64) // 4,
+                             x // 4:(x + 64) // 4] = mode
+                    tus = []
+                    for tz in range(4):
+                        tx = x + (tz & 1) * 32
+                        ty = y + (tz >> 1) * 32
+                        tq = q[(tz >> 1) * 32:(tz >> 1) * 32 + 32,
+                               (tz & 1) * 32:(tz & 1) * 32 + 32]
+                        cbf = 1 if tq.any() else 0
+                        tus.append(enc_mod.TuRecord(
+                            tx, ty, 32, cbf, tq if cbf else None))
+                    pu = enc_mod.PuRecord(x, y, 64, mode, tus)
+                    trees.append(enc_mod.CuNode(x, y, 64, 0, split=False,
+                                                pus=[pu]))
+                    continue
+                root = enc_mod.CuNode(x, y, 64, 0, split=True)
+                for quad in range(4):
+                    root.children.append(
+                        tree32(x + (quad & 1) * 32, y + (quad >> 1) * 32))
+                trees.append(root)
+    else:
+        for by in range(h // 32):
+            for bx in range(w // 32):
+                trees.append(tree32(bx * 32, by * 32))
 
     bitstream = b""
     if serialize:
         bitstream = enc_mod.serialize_trees(
-            trees, width=w, height=h, qp=qp, policy=policy, ctu_size=CTB,
+            trees, width=w, height=h, qp=qp, policy=policy, ctu_size=ctb,
             sign_hiding=True)
     return enc_mod.EncodeResult(
         bitstream=bitstream,
@@ -1058,14 +1294,16 @@ def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize):
 _W2_BATCH_CACHE: dict = {}
 
 
-def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle):
+def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle,
+                             ctb=CTB):
     import jax
 
-    key = (height, width, qp, lam_scale, policy, id(bundle))
+    key = (height, width, qp, lam_scale, policy, id(bundle), ctb)
     hit = _W2_BATCH_CACHE.get(key)
     if hit is not None:
         return hit[0]
-    run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle)
+    run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle,
+                             ctb=ctb)
     batched = jax.jit(jax.vmap(run))
     _W2_BATCH_CACHE[key] = (batched, bundle)
     return batched
@@ -1074,7 +1312,7 @@ def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle):
 def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
                                    lam_scale: float = 1.0,
                                    policy: str = "regular", pnn=None,
-                                   serialize: bool = False):
+                                   serialize: bool = False, ctb: int = CTB):
     """Encodes a BATCH of frames through one vmapped wavefront2 program.
 
     The sustained-throughput serving mode: the wavefront's sequential
@@ -1091,11 +1329,12 @@ def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
 
     bundle = getattr(pnn, "bundle", pnn)
     b, h, w = frames_uint8.shape
-    run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle)
+    run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle, ctb)
     arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frames_uint8)))
     return [
         _arrays_to_result(frames_uint8[i], qp,
-                          tuple(a[i] for a in arrays), policy, serialize)
+                          tuple(a[i] for a in arrays), policy, serialize,
+                          ctb=ctb)
         for i in range(b)
     ]
 
@@ -1103,7 +1342,8 @@ def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
 def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
                                loop_filters: bool = True,
                                lam_scale: float = 1.0,
-                               policy: str = "regular", pnn=None):
+                               policy: str = "regular", pnn=None,
+                               ctb: int = CTB):
     """Wavefront-v2 device encode -> standard Annex-B HEVC stream (CTB 32).
 
     Deblock + SAO are normative post-passes for All-Intra; decoded-picture-
@@ -1116,7 +1356,7 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
 
     res = encode_frame_wavefront2(frame_uint8, qp, serialize=False,
                                   lam_scale=lam_scale, policy=policy,
-                                  pnn=pnn)
+                                  pnn=pnn, ctb=ctb)
     h, w = frame_uint8.shape
     sao_grid = None
     if loop_filters:
@@ -1138,13 +1378,13 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
                         tid += 1
         final = deblock.deblock_luma(res.reconstruction, tu_ids, qp)
         lam = rdo.lambda_for_qp(qp)
-        sao_grid = sao_mod.estimate_frame(frame_uint8, final, CTB, lam)
-        final = sao_mod.apply_sao(final, sao_grid, CTB)
+        sao_grid = sao_mod.estimate_frame(frame_uint8, final, ctb, lam)
+        final = sao_mod.apply_sao(final, sao_grid, ctb)
         res.reconstruction = final
     stream = hm_encoder.assemble_hm_stream(
         res, sao_enabled=loop_filters, deblocking=loop_filters,
         sign_hiding=True, transform_skip=False, max_tu_depth=0,
-        sao_grid=sao_grid, ctu_size=CTB)
+        sao_grid=sao_grid, ctu_size=ctb)
     res.bitstream = stream
     res.num_bits = len(stream) * 8
     return stream, res

@@ -12,8 +12,11 @@ through the sequential host decoder and asserted bit-exact, so the BD
 numbers are for decodable normative streams.  Reported: BD vs HM-16.15 and
 BD vs the regular-policy wavefront (the isolated on-device NN coding gain).
 
-Usage: measure_bd_wavefront.py [parkscene|rgb_library] [v1|v2]
+Usage: measure_bd_wavefront.py [parkscene|rgb_library] [v1|v2|v2c64]
                                [regular|substitution|switch]
+
+v2c64 = wavefront2 with the 64x64 CU level (CTB 64 depth 4, HM's AI
+geometry); the comparison frame is cropped to a 64-multiple.
 """
 
 import json
@@ -70,10 +73,11 @@ def run_points(frame, ver, policy, bundle):
     h, w = frame.shape
     pts = []
     for qp in QPS:
-        if ver == "v2":
+        if ver in ("v2", "v2c64"):
             stream, res = wavefront2.encode_frame_wavefront2_hm(
                 frame, qp, policy=policy,
-                pnn=bundle if policy != "regular" else None)
+                pnn=bundle if policy != "regular" else None,
+                ctb=64 if ver == "v2c64" else 32)
         else:
             assert policy == "regular", "v1 has no NN path"
             stream, res = wavefront.encode_frame_wavefront_hm(frame, qp)
@@ -107,13 +111,17 @@ def main():
     ver = sys.argv[2] if len(sys.argv) > 2 else "v2"
     policy = sys.argv[3] if len(sys.argv) > 3 else "regular"
     if which == "parkscene":
-        # 416x224: multiple of 32 for the v2 CTB grid.
+        # 416x224: multiple of 32 for the v2 CTB grid (384x192 for CTB 64).
         frame = hm_driver.load_luminance(
             "/root/reference/hevc/visualization/map_intra_prediction_modes/"
             "readme/luminance_parkscene.png")[400:624, 600:1016]
     else:
         frame = hm_driver.load_luminance(
             "/root/reference/hevc/pseudo_data/rgb_library.jpg")[:384, :384]
+    if ver == "v2c64":
+        h64 = (frame.shape[0] // 64) * 64
+        w64 = (frame.shape[1] // 64) * 64
+        frame = frame[:h64, :w64]
     h, w = frame.shape
 
     bundle = load_bundle() if policy != "regular" else None
@@ -129,7 +137,7 @@ def main():
            "qps": QPS, "frame": which, "version": ver, "policy": policy}
     if policy != "regular":
         print("  regular-policy wavefront baseline:")
-        reg = run_points(frame, ver, "regular", None)
+        reg = run_points(frame, ver, "regular", None)  # same ver/ctb
         out["vs_wavefront_regular"] = bd_table(reg, ours)
         out["wavefront_regular"] = reg
     print(json.dumps({k: out[k] for k in out

@@ -99,3 +99,33 @@ def test_wavefront2_halo_bit_exact_regular_and_switch(bundle, frame):
                                                     pnn=pnn_arg)
         assert np.array_equal(sh.reconstruction, single.reconstruction), policy
         assert sh.bitstream == single.bitstream, policy
+
+
+def test_wavefront2_ctb64_round_trips(bundle):
+    """CTB-64 depth-4 (HM AI geometry): 64-leaf CUs with forced TU32 split
+    decode bit-exactly through both containers, incl. the switch policy."""
+    from context_adaptive_neural_network_based_prediction_tpu.codec import (
+        hm_decoder)
+    from context_adaptive_neural_network_based_prediction_tpu.parallel import (
+        wavefront2)
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:128, 0:128]
+    smooth = np.clip(128 + 40 * np.sin(xx / 37.0) + 30 * np.cos(yy / 41.0)
+                     + rng.normal(0, 3, (128, 128)), 0, 255).astype(np.uint8)
+    res = wavefront2.encode_frame_wavefront2(smooth, 37, ctb=64)
+    assert any(not t.split for t in res.ctu_trees), "no 64-leaf CU chosen"
+    dec = decoder.decode_frame(res.bitstream)
+    assert np.array_equal(res.reconstruction, dec.reconstruction)
+
+    stream, res_hm = wavefront2.encode_frame_wavefront2_hm(smooth, 37,
+                                                           ctb=64)
+    hd = hm_decoder.decode_hm_stream(stream, use_native="never")
+    assert hd.hash_ok
+    assert np.array_equal(hd.reconstruction, res_hm.reconstruction)
+
+    res_sw = wavefront2.encode_frame_wavefront2(smooth, 37, policy="switch",
+                                                pnn=bundle, ctb=64)
+    dec_sw = decoder.decode_frame(res_sw.bitstream,
+                                  pnn=nn_intra.PnnPredictor(bundle))
+    assert np.array_equal(res_sw.reconstruction, dec_sw.reconstruction)
