@@ -225,6 +225,20 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
 
 # -------------------------------------------------------- integer forward --
 
+def _use_pallas_merger() -> bool:
+    """Pallas merger kernel gate: TPU backend, unless CANP_NO_PALLAS=1."""
+    import os
+
+    import jax
+
+    if os.environ.get("CANP_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _requant(acc_i32, mult, cap, leaky: bool):
     """int32 accumulator -> int16 activation (elementwise-deterministic)."""
     import jax.numpy as jnp
@@ -340,11 +354,20 @@ def forward_q(q: dict, inputs, width: int, is_fully_connected: bool):
     f0 = x0.reshape(n, -1, m)
     f1 = x1.reshape(n, -1, m)
     xc = jnp.concatenate([f0, f1], axis=1)            # (N, P, M) int16
-    acc = jax.lax.dot_general(
-        xc.transpose(2, 0, 1), jnp.asarray(q["merger/w"]),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)             # (M, N, O)
-    acc = acc + jnp.asarray(q["merger/b"])[:, None, :]
+    if _use_pallas_merger():
+        # Vector-unit Pallas kernel at codec shapes; bit-identical to the
+        # XLA dot by integer-sum associativity (ops/pallas/merger_int.py),
+        # so normative streams are unaffected by the swap.
+        from ..ops.pallas import merger_int
+
+        acc = merger_int.merger_int_forward(
+            xc, jnp.asarray(q["merger/w"]), jnp.asarray(q["merger/b"]))
+    else:
+        acc = jax.lax.dot_general(
+            xc.transpose(2, 0, 1), jnp.asarray(q["merger/w"]),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # (M, N, O)
+        acc = acc + jnp.asarray(q["merger/b"])[:, None, :]
     x = _requant(acc, jnp.asarray(q["merger/m"])[:, None, None],
                  q["merger/c"], leaky=True)
     prod = int(np.prod(strides))

@@ -85,3 +85,60 @@ class TestMergerKernel:
         part = np.asarray(pallas_merger.merger_forward(
             wgt, b, x0[:2], x1[:2], side, side))
         np.testing.assert_allclose(part, full[:2], rtol=1e-5, atol=1e-4)
+
+
+def test_int_merger_kernel_bit_identical_to_xla_dot():
+    """The integer Pallas merger (codec-shape vector kernel) is BIT-identical
+    to the XLA integer dot - integer sums are associative, so it is a legal
+    swap inside the normative quantized forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from context_adaptive_neural_network_based_prediction_tpu.ops.pallas import (
+        merger_int)
+
+    rng = np.random.default_rng(1)
+    for (n, p, o, m) in ((31, 80, 16, 64), (17, 80, 16, 128)):
+        x = rng.integers(-2047, 2048, (n, p, m)).astype(np.int16)
+        w = rng.integers(-511, 512, (m, p, o)).astype(np.int16)
+        b = rng.integers(-10 ** 5, 10 ** 5, (m, o)).astype(np.int32)
+        got = np.asarray(merger_int.merger_int_forward(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), interpret=True))
+        ref = np.asarray(jax.lax.dot_general(
+            jnp.asarray(x).transpose(2, 0, 1), jnp.asarray(w),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)) + b[:, None, :]
+        assert np.array_equal(got, ref)
+
+
+def test_quantized_forward_same_with_and_without_pallas_merger():
+    """forward_q output does not depend on the merger implementation."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from context_adaptive_neural_network_based_prediction_tpu.models import (
+        pnn, pnn_q)
+
+    width = 16
+    params = pnn.init_params(jax.random.PRNGKey(0), width, False)
+    calib = pnn_q.calibration_contexts(width, False, n_samples=32)
+    q = pnn_q.quantize_pnn(params, calib, width, False)
+    ev = pnn_q.calibration_contexts(width, False, n_samples=8, seed=9)
+    base = np.asarray(pnn_q.forward_q(q, ev, width, False))
+    # Force the pallas path in interpret mode via monkeypatching the gate.
+    orig = pnn_q._use_pallas_merger
+    try:
+        pnn_q._use_pallas_merger = lambda: True
+        from context_adaptive_neural_network_based_prediction_tpu.ops.pallas \
+            import merger_int as mi
+        orig_fwd = mi.merger_int_forward
+        mi.merger_int_forward = lambda *a, **k: orig_fwd(
+            *a, **dict(k, interpret=True))
+        with_pallas = np.asarray(pnn_q.forward_q(q, ev, width, False))
+        mi.merger_int_forward = orig_fwd
+    finally:
+        pnn_q._use_pallas_merger = orig
+    assert np.array_equal(base, with_pallas)
