@@ -174,14 +174,15 @@ _W2_CACHE: dict = {}
 def _jitted_wavefront2(height: int, width: int, qp: int,
                        lam_scale: float = 1.0, policy: str = "regular",
                        bundle=None, halo_axis: str | None = None,
-                       n_tiles: int = 1, ctb: int = CTB):
+                       n_tiles: int = 1, ctb: int = CTB,
+                       enable_nxn: bool = True):
     key = (height, width, qp, lam_scale, policy, id(bundle), halo_axis,
-           n_tiles, ctb)
+           n_tiles, ctb, enable_nxn)
     hit = _W2_CACHE.get(key)
     if hit is not None:
         return hit[0]
     run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                            halo_axis, n_tiles, ctb)
+                            halo_axis, n_tiles, ctb, enable_nxn)
     _W2_CACHE[key] = (run, bundle)   # keep bundle alive so id() stays valid
     return run
 
@@ -189,7 +190,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
 def _build_wavefront2(height: int, width: int, qp: int,
                       lam_scale: float, policy: str, bundle,
                       halo_axis: str | None = None, n_tiles: int = 1,
-                      ctb: int = CTB):
+                      ctb: int = CTB, enable_nxn: bool = True):
     """Builds the jitted CTB-32 quadtree wavefront encoder.
 
     With `halo_axis`/`n_tiles` the function is meant to run per-device under
@@ -778,22 +779,28 @@ def _build_wavefront2(height: int, width: int, qp: int,
 
                 cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
 
-                # NxN: 4x4s predict from the evolving reconstruction (the
-                # decoder reconstructs them in the same z-order); if 2Nx2N
-                # wins, its rec overwrites the whole cell, so the temporary
-                # 4x4 commits never leak outside it.
-                (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = \
-                    jax.lax.scan(
-                        s4_body,
-                        (recon_, m4_, q4_, jnp.zeros_like(cost8),
-                         jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
-                        jnp.arange(4))
-
-                use2n = (cost8 + lam * SB["part_2nx2n"]
-                         < cost_nxn + lam * SB["part_nxn"])
-                cell_cost = jnp.where(
-                    use2n, cost8 + lam * SB["part_2nx2n"],
-                    cost_nxn + lam * SB["part_nxn"])
+                if enable_nxn:
+                    # NxN: 4x4s predict from the evolving reconstruction
+                    # (the decoder reconstructs them in the same z-order);
+                    # if 2Nx2N wins, its rec overwrites the whole cell, so
+                    # the temporary 4x4 commits never leak outside it.
+                    (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = \
+                        jax.lax.scan(
+                            s4_body,
+                            (recon_, m4_, q4_, jnp.zeros_like(cost8),
+                             jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
+                            jnp.arange(4))
+                    use2n = (cost8 + lam * SB["part_2nx2n"]
+                             < cost_nxn + lam * SB["part_nxn"])
+                    cell_cost = jnp.where(
+                        use2n, cost8 + lam * SB["part_2nx2n"],
+                        cost_nxn + lam * SB["part_nxn"])
+                else:
+                    # Speed knob: 8x8 cells are always 2Nx2N leaves (the
+                    # 4x4 z-chains are the critical-path hot spot).
+                    last_m4 = mode8b
+                    use2n = jnp.ones_like(cost8, bool)
+                    cell_cost = cost8 + lam * SB["part_2nx2n"]
 
                 def commit_cell(i, st):
                     rc, md, m8x, q8x, c8x, s8x = st
@@ -1155,7 +1162,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
                             serialize: bool = True, lam_scale: float = 1.0,
                             policy: str = "regular", pnn=None,
-                            ctb: int = CTB):
+                            ctb: int = CTB, enable_nxn: bool = True):
     """Quadtree wavefront encode -> EncodeResult (own bitstream).
 
     `ctb=64` adds the 64x64 CU level (HM's intra_main_rext.cfg CTU 64
@@ -1172,7 +1179,8 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
 
     bundle = getattr(pnn, "bundle", pnn)
     h, w = frame_uint8.shape
-    run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle, ctb=ctb)
+    run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle, ctb=ctb,
+                             enable_nxn=enable_nxn)
     arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
     return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
                              ctb=ctb)
@@ -1295,15 +1303,15 @@ _W2_BATCH_CACHE: dict = {}
 
 
 def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle,
-                             ctb=CTB):
+                             ctb=CTB, enable_nxn=True):
     import jax
 
-    key = (height, width, qp, lam_scale, policy, id(bundle), ctb)
+    key = (height, width, qp, lam_scale, policy, id(bundle), ctb, enable_nxn)
     hit = _W2_BATCH_CACHE.get(key)
     if hit is not None:
         return hit[0]
     run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                             ctb=ctb)
+                             ctb=ctb, enable_nxn=enable_nxn)
     batched = jax.jit(jax.vmap(run))
     _W2_BATCH_CACHE[key] = (batched, bundle)
     return batched
