@@ -114,20 +114,20 @@ def main():
         print(f"{which} {name}:")
         points[name] = [run_point(frame, qp, policy, bundle,
                                   f"{which}_{name}") for qp in QPS]
-
-    out = {"frame": which, "qps": QPS,
-           "encode_s_mean": {n: float(np.mean([p["encode_s"]
-                                               for p in pts]))
-                             for n, pts in points.items()},
-           "points": points}
-    for name in points:
-        if name == "regular":
-            continue
-        out[f"bd_{name}_vs_regular"] = bd_lhf(points["regular"],
-                                              points[name])
-        print(name, out[f"bd_{name}_vs_regular"])
-    with open(f"artifacts/rd_protocol_{which}.json", "w") as f:
-        json.dump(out, f, indent=1)
+        # Incremental summary: every completed config lands in the artifact
+        # even if a later config is cut off by the wall clock.
+        out = {"frame": which, "qps": QPS,
+               "encode_s_mean": {n: float(np.mean([p["encode_s"]
+                                                   for p in pts]))
+                                 for n, pts in points.items()},
+               "points": points}
+        for n in points:
+            if n == "regular":
+                continue
+            out[f"bd_{n}_vs_regular"] = bd_lhf(points["regular"], points[n])
+            print(n, out[f"bd_{n}_vs_regular"], flush=True)
+        with open(f"artifacts/rd_protocol_{which}.json", "w") as f:
+            json.dump(out, f, indent=1)
     print(f"-> artifacts/rd_protocol_{which}.json")
 
 
