@@ -74,18 +74,18 @@ def _measure(out_path):
     h, w, qp = 1056, 1920, 32
     frame = bench_frame(h, w)
 
-    # --- v1 (throughput corner), for continuity ---
-    run1 = wavefront.encode_frame_wavefront  # noqa: F841 (import check)
-    r1 = wavefront._jitted_wavefront(h - h % 16, w, 16, qp)
-    f1 = jnp.asarray(frame[:h - h % 16])
-    np.asarray(r1(f1)[1])
+    # Headline first (sustained v2 batch-4), so a tunnel stall or watchdog
+    # cut still leaves the metric that matters in the incremental file.
+    B = 4
+    rb = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, "regular", None)
+    fb = jnp.asarray(np.stack([frame] * B))
+    np.asarray(rb(fb)[1])
     t0 = time.time()
-    for _ in range(3):
-        np.asarray(r1(f1)[1])
-    results["v1_fps"] = 3 / (time.time() - t0)
+    for _ in range(2):
+        np.asarray(rb(fb)[1])
+    results["v2_b4_fps"] = 2 * B / (time.time() - t0)
     save()
 
-    # --- v2 frontier: single-frame and sustained batch-4 ---
     r2 = wavefront2._jitted_wavefront2(h, w, qp)
     f2 = jnp.asarray(frame)
     np.asarray(r2(f2)[1])
@@ -95,14 +95,14 @@ def _measure(out_path):
     results["v2_b1_fps"] = 2 / (time.time() - t0)
     save()
 
-    B = 4
-    rb = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, "regular", None)
-    fb = jnp.asarray(np.stack([frame] * B))
-    np.asarray(rb(fb)[1])
+    # --- v1 (throughput corner), for continuity ---
+    r1 = wavefront._jitted_wavefront(h - h % 16, w, 16, qp)
+    f1 = jnp.asarray(frame[:h - h % 16])
+    np.asarray(r1(f1)[1])
     t0 = time.time()
-    for _ in range(2):
-        np.asarray(rb(fb)[1])
-    results["v2_b4_fps"] = 2 * B / (time.time() - t0)
+    for _ in range(3):
+        np.asarray(r1(f1)[1])
+    results["v1_fps"] = 3 / (time.time() - t0)
     save()
     return results
 
@@ -158,8 +158,12 @@ def main():
         except Exception:
             continue
     fps = results.get("v2_b4_fps") or results.get("v2_b1_fps") or 0.0
+    fresh_b4 = "v2_b4_fps" in results and "measured_at" not in results
+    name = ("wavefront2_sustained_device_fps_1080p_parkscene_b4"
+            if fresh_b4 else
+            "wavefront2_sustained_device_fps_1080p_parkscene_b4_cached")
     print(json.dumps({
-        "metric": "wavefront2_sustained_device_fps_1080p_parkscene_b4_cached",
+        "metric": name,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / HM_BASELINE_FPS, 2),

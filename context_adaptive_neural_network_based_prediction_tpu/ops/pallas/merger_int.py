@@ -48,7 +48,9 @@ def _build(n_in: int, p_in: int, o_out: int, m_maps: int, interpret: bool):
         acc = jnp.broadcast_to(b_ref[...][None, :, :],
                                (n_pad, o_out, LANES)).astype(jnp.int32)
         for p in range(p_in):
-            acc = acc + x[:, p, None, :] * w[None, p, :, :]
+            # Basic slices only (None-indexing lowers to >2D gathers, which
+            # Mosaic rejects); (n,1,L) * (1,O,L) broadcasts on the VPU.
+            acc = acc + x[:, p:p + 1, :] * w[p:p + 1, :, :]
         out_ref[...] = acc
 
     @jax.jit
