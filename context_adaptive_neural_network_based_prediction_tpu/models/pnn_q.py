@@ -226,12 +226,18 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
 # -------------------------------------------------------- integer forward --
 
 def _use_pallas_merger() -> bool:
-    """Pallas merger kernel gate: TPU backend, unless CANP_NO_PALLAS=1."""
+    """Pallas merger kernel gate: opt-in via CANP_PALLAS=1 on TPU.
+
+    Measured on this chip (artifacts/merger_int_profile.json): 0.84-1.04x
+    the XLA int dot at codec shapes - both run at the ~270us dispatch floor,
+    so the swap buys nothing yet.  The kernel stays (bit-identical, parity-
+    tested) as the integer-kernel foundation, but XLA remains the default.
+    """
     import os
 
     import jax
 
-    if os.environ.get("CANP_NO_PALLAS") == "1":
+    if os.environ.get("CANP_PALLAS") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

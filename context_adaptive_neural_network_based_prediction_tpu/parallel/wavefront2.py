@@ -1351,7 +1351,7 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
                                loop_filters: bool = True,
                                lam_scale: float = 1.0,
                                policy: str = "regular", pnn=None,
-                               ctb: int = CTB):
+                               ctb: int = CTB, enable_nxn: bool = True):
     """Wavefront-v2 device encode -> standard Annex-B HEVC stream (CTB 32).
 
     Deblock + SAO are normative post-passes for All-Intra; decoded-picture-
@@ -1364,7 +1364,7 @@ def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
 
     res = encode_frame_wavefront2(frame_uint8, qp, serialize=False,
                                   lam_scale=lam_scale, policy=policy,
-                                  pnn=pnn, ctb=ctb)
+                                  pnn=pnn, ctb=ctb, enable_nxn=enable_nxn)
     h, w = frame_uint8.shape
     sao_grid = None
     if loop_filters:
