@@ -1,9 +1,11 @@
-"""Wavefront v2: fully-jitted CTB-32 device encoder WITH a quadtree.
+"""Wavefront v2: fully-jitted quadtree device encoder (CTB 32 or 64).
 
 The v1 wavefront (`wavefront.py`) trades ~26% BD-rate for throughput by
 fixing a uniform 16x16 grid.  v2 keeps the whole-frame-as-one-XLA-program
 design but adds the structure that carries most of HM's efficiency: a CU
-quadtree 32 -> 16 -> 8 decided on device.
+quadtree decided on device - 32 -> 16 -> 8 (-> 4x4 NxN PUs), plus an
+optional 64x64 CU level (`ctb=64`, HM's intra_main_rext geometry: one
+signalled mode, four forced TU32s reconstructed TU-by-TU).
 
 Exact-decodability discipline (the NN/codec is normative - SURVEY.md §3.4):
 every candidate's prediction uses exactly the reference samples the decoder
@@ -191,7 +193,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                       lam_scale: float, policy: str, bundle,
                       halo_axis: str | None = None, n_tiles: int = 1,
                       ctb: int = CTB, enable_nxn: bool = True):
-    """Builds the jitted CTB-32 quadtree wavefront encoder.
+    """Builds the jitted quadtree wavefront encoder (CTB `ctb` in {32, 64}).
 
     With `halo_axis`/`n_tiles` the function is meant to run per-device under
     `shard_map`: each device encodes a `height`-tall stripe of CTB rows on
