@@ -177,6 +177,12 @@ class PnnPredictor:
                                             else 0)
 
     def supports(self, n: int) -> bool:
+        # A quantized-only width (present in the quantized manifest but not
+        # the float one) still needs the bundle's arch/mean metadata, which
+        # load_codec_bundle populates from the float manifest — without the
+        # gate, predict() would KeyError in is_fully_connected/mean_for.
+        if n not in self.bundle.is_fully_connected:
+            return False
         return n in self._params or n in self._quantized
 
     def predict(self, recon: np.ndarray, x: int, y: int, n: int,

@@ -78,6 +78,23 @@ def _act_scale(calib_max: float, act_max: int) -> float:
     return float(max(calib_max, 1e-6) * CALIB_MARGIN / act_max)
 
 
+def _bq(b: np.ndarray, scale) -> np.ndarray:
+    """Bias -> int32 with the 2^30 headroom guarantee CHECKED at freeze time.
+
+    The module's overflow argument (contraction <= 2^30, bias gets the other
+    2^30 of int32 range) requires |bias_q| <= BUDGET.  A pathological
+    calibration set (near-zero activation maxima -> tiny scales) would
+    otherwise silently wrap int32 and freeze a corrupt "normative" model.
+    """
+    q = np.round(np.asarray(b, np.float32) / scale)
+    amax = float(np.abs(q).max()) if q.size else 0.0
+    if amax > BUDGET:
+        raise ValueError(
+            f"quantized bias magnitude {amax:.3g} exceeds the int32 headroom "
+            f"budget {BUDGET}; calibration activation scales are degenerate")
+    return q.astype(np.int32)
+
+
 def quantize_pnn(params: dict, inputs_calib, width: int,
                  is_fully_connected: bool) -> dict:
     """Float params + calibration inputs -> frozen quantized param dict.
@@ -109,7 +126,7 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
             wq, sw = _wq_per_out(fp[f"weights_{i}"], 1, w_max)
             b = np.asarray(fp[f"biases_{i}"], np.float32)
             q[f"w_{i}"] = wq
-            q[f"b_{i}"] = np.round(b / (s_prev * sw)).astype(np.int32)
+            q[f"b_{i}"] = _bq(b, s_prev * sw)
             if i < 3:
                 a_next, _ = _layer_budget(dims_k[i + 1])
                 s_next = _act_scale(maxima[i + 1], a_next)
@@ -169,7 +186,7 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
             wq, sw = _wq_per_out(np.asarray(layer["weights"]), 3, w_max)
             b = np.asarray(layer["biases"], np.float32)
             q[f"{bname}/w_{i}"] = wq
-            q[f"{bname}/b_{i}"] = np.round(b / (s_prev * sw)).astype(np.int32)
+            q[f"{bname}/b_{i}"] = _bq(b, s_prev * sw)
             q[f"{bname}/m_{i}"] = (s_prev * sw / s_next).astype(np.float32)
             q[f"{bname}/c_{i}"] = np.int32(a_next)
             s_prev = s_next
@@ -193,8 +210,7 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
     _, w_max = _layer_budget(k_merger)
     wq, sw = _wq_per_out(np.asarray(cm["weights"]), 0, w_max)   # per map
     q["merger/w"] = wq
-    q["merger/b"] = np.round(np.asarray(cm["biases"], np.float32)
-                             / (s_merge_in * sw[:, None])).astype(np.int32)
+    q["merger/b"] = _bq(cm["biases"], s_merge_in * sw[:, None])
     q["merger/m"] = (s_merge_in * sw / s_next).astype(np.float32)
     q["merger/c"] = np.int32(a_next)
     s_prev = s_next
@@ -211,7 +227,7 @@ def quantize_pnn(params: dict, inputs_calib, width: int,
         wq, sw = _wq_per_out(np.asarray(layer["weights"]), 2, w_max)
         b = np.asarray(layer["biases"], np.float32)
         q[f"merger/t_w_{i}"] = wq
-        q[f"merger/t_b_{i}"] = np.round(b / (s_prev * sw)).astype(np.int32)
+        q[f"merger/t_b_{i}"] = _bq(b, s_prev * sw)
         if not last:
             a_next, _ = _layer_budget(k_tconv[i + 1])
             s_next = _act_scale(float(np.abs(np.asarray(x)).max()), a_next)

@@ -147,26 +147,43 @@ def encode_frame_tiled_halo_v2(frame_uint8: np.ndarray, qp: int, mesh, *,
 
     def per_tile(tile):
         outs = run(tile.reshape(tile_h, w))
-        return tuple(o[None] for o in outs)
+        return jax.tree_util.tree_map(lambda o: o[None], outs)
 
-    # out_specs: every output gains a leading sharded tile axis.
+    # out_specs: every output leaf gains a leading sharded tile axis.  The
+    # halo build calls axis_index (untraceable outside shard_map), but its
+    # output pytree is identical to the unsharded build's — eval_shape that.
+    run_flat = wavefront2._jitted_wavefront2(tile_h, w, qp, 1.0, policy,
+                                             bundle)
+
+    def per_tile_shape(tile):
+        outs = run_flat(tile.reshape(tile_h, w))
+        return jax.tree_util.tree_map(lambda o: o[None], outs)
+
+    out_shapes = jax.eval_shape(per_tile_shape,
+                                jax.ShapeDtypeStruct((tile_h, w), jnp.uint8))
+    out_specs = jax.tree_util.tree_map(
+        lambda s: P(axis, *([None] * (s.ndim - 1))), out_shapes)
     sharded = shard_map(
         per_tile, mesh=mesh,
         in_specs=P(axis, None),
-        out_specs=tuple(P(axis, *([None] * nd)) for nd in
-                        (2, 2, 4, 2, 2, 4, 2, 4, 2, 2, 4, 2)),
+        out_specs=out_specs,
     )
     frame_dev = jax.device_put(
         jnp.asarray(frame_uint8), NamedSharding(mesh, P(axis, None)))
-    outs = jax.jit(sharded)(frame_dev)
-    (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = (
-        np.asarray(o) for o in outs)
+    recon_t, ys_t = jax.jit(sharded)(frame_dev)
+    recon_t = np.asarray(recon_t)
+    ys_t = jax.tree_util.tree_map(np.asarray, ys_t)
 
-    def merge(a):
-        # (n_tiles, 1, per-tile rows, ...) -> (global rows, ...)
-        return a.reshape((-1,) + a.shape[2:])
-
-    arrays = tuple(merge(a) for a in
-                   (recon, m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32))
+    # Per-stripe host assembly: stripe d runs the GLOBAL schedule offset by
+    # 2*d*sby_local steps; its decided grids stack into the global frame.
+    sby_local = tile_h // ctb
+    parts = []
+    for d in range(n_tiles):
+        ys_d = jax.tree_util.tree_map(lambda a: a[d], ys_t)
+        parts.append(wavefront2._assemble_arrays(
+            ys_d, tile_h, w, ctb, t_offset=2 * sby_local * d))
+    grids = tuple(np.concatenate([p[i] for p in parts], axis=0)
+                  for i in range(len(parts[0])))
+    arrays = (recon_t.reshape(-1, w),) + grids
     return wavefront2._arrays_to_result(frame_uint8, qp, arrays, policy,
                                         serialize)

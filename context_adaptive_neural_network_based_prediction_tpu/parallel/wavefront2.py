@@ -170,7 +170,18 @@ def _nn_ctx_tables(height: int, width: int, n: int, ctb: int = CTB):
 
 
 # Explicit cache (lru_cache cannot key on a PnnBundle of numpy arrays).
+# Bounded: entries pin the bundle (so id() stays valid) AND the compiled XLA
+# executable; a long-running server encoding varied (h, w, qp, ...) combos
+# must not accumulate them without end (ADVICE r3).  Python dicts preserve
+# insertion order, so popping the first key evicts the oldest entry.
 _W2_CACHE: dict = {}
+_W2_CACHE_MAX = 16
+
+
+def _cache_put(cache: dict, key, value):
+    cache[key] = value
+    while len(cache) > _W2_CACHE_MAX:
+        cache.pop(next(iter(cache)))
 
 
 def _jitted_wavefront2(height: int, width: int, qp: int,
@@ -185,7 +196,7 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
         return hit[0]
     run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
                             halo_axis, n_tiles, ctb, enable_nxn)
-    _W2_CACHE[key] = (run, bundle)   # keep bundle alive so id() stays valid
+    _cache_put(_W2_CACHE, key, (run, bundle))
     return run
 
 
@@ -691,17 +702,55 @@ def _build_wavefront2(height: int, width: int, qp: int,
         best = jnp.argmin(cost).astype(jnp.int32)
         return cost[best], best, rec[best], q[best]
 
-    def masked_at(by, bx, valid, grid_h):
-        """(row, col) for unit-grid writes, redirected to the scratch row."""
-        return jnp.where(valid, by, grid_h), jnp.where(valid, bx, 0)
+    # ---- batched masked commits -------------------------------------------
+    # Round-3 committed per-slot via `fori_loop`s of dynamic updates; XLA
+    # could not alias the carried buffers across those loop iterations and
+    # inserted a whole-buffer copy per slot per sub-stage (profiled on the
+    # chip: ~150k %copy-start events ~= 2.5k/step, 5.1 s of a 1.95 s wall at
+    # 512x960 - THE dispatch floor of VERDICT r3).  One scatter per buffer
+    # per sub-stage commits all slots at once: windows are disjoint across
+    # slots (different CTBs of the anti-diagonal), masked-off slots are
+    # redirected to per-slot out-of-bounds rows and dropped by the scatter.
 
-    def step(t, state):
-        if ctb == 64:
-            (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
-             s16, m32, q32, s32, m64, q64, s64) = state
-        else:
-            (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
-             s16, m32, q32, s32) = state
+    def _scatter(buf, idx, upd, dnums):
+        import jax.lax as lax
+        return lax.scatter(
+            buf, idx, upd, dnums, indices_are_sorted=False,
+            unique_indices=True, mode=lax.GatherScatterMode.FILL_OR_DROP)
+
+    def _drop_idx(ys, xs, oks, oob_dim):
+        # Distinct out-of-bounds rows per masked slot keep the
+        # unique_indices promise honest even for the dropped updates.
+        ys = jnp.where(oks, ys, oob_dim + jnp.arange(ys.shape[0]))
+        xs = jnp.where(oks, xs, 0)
+        return jnp.stack([ys, xs], axis=1).astype(jnp.int32)
+
+    def scat_cells(buf, ys, xs, upd, oks):
+        """buf[(ys, xs)] = upd for slots with oks; upd (b, *buf.shape[2:])."""
+        import jax.lax as lax
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=tuple(range(1, upd.ndim)),
+            inserted_window_dims=(0, 1),
+            scatter_dims_to_operand_dims=(0, 1))
+        return _scatter(buf, _drop_idx(ys, xs, oks, buf.shape[0]), upd,
+                        dnums)
+
+    def scat_win(buf, ys, xs, upd, oks):
+        """2-D window commit: buf[y:y+n, x:x+m] = upd[i] per slot."""
+        import jax.lax as lax
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        return _scatter(buf, _drop_idx(ys, xs, oks, buf.shape[0]), upd,
+                        dnums)
+
+    def scat_rec(recon_, recs, ys, xs, oks):
+        """Reconstruction block commit (pixel coords; halo offset applied)."""
+        return scat_win(recon_, ys + top, xs, recs, oks)
+
+    def step(state, t):
+        (frame, recon, mode8, c8) = state
         if halo_axis is not None:
             d = jax.lax.axis_index(halo_axis)
             t_loc = t - 2 * sby * d     # global schedule, stripe offset
@@ -718,15 +767,6 @@ def _build_wavefront2(height: int, width: int, qp: int,
         scby = jnp.minimum(by_ids, sby - 1)
         scbx = jnp.clip(bx_ids, 0, sbx - 1)
 
-        h4 = height // 4
-        h8, w8 = height // 8, width // 8
-        h16, w16 = height // 16, width // 16
-
-        def commit_rec(recon_, rec, yy, xx, ok):
-            yy = jnp.where(ok, yy + top, height + top)
-            xx = jnp.where(ok, xx, 0)
-            return jax.lax.dynamic_update_slice(recon_, rec, (yy, xx))
-
         # The quadrant / z-cell / 4x4-sub-block chains are lax.scans (not
         # Python loops): the per-step HLO holds ONE instance of each
         # encode_unit size instead of 85, which keeps XLA compile time and
@@ -735,110 +775,96 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # slot vectors (cby, cbx) in 32-grid coordinates: the whole CTB body
         # when ctb == 32, one z-quadrant of a 64 CTB when ctb == 64 (a
         # 64x64 2Nx2N candidate then competes with the four quadrants).
+        #
+        # The decided mode/level/structure grids are NOT program state:
+        # their write positions depend only on the static schedule, so each
+        # sub-stage just EMITS its per-slot decisions as scan outputs and the
+        # host assembles the grids for free (round 3 carried 12 grid buffers
+        # through every nested scan and committed per-slot per-sub-stage -
+        # the other half of the measured dispatch floor).  Only buffers later
+        # sub-stages actually READ stay carried: the reconstruction, the
+        # 8-granularity mode map (MPM context), and the 8x8 cell costs.
         def encode_ctb32(carry, cby, cbx):
-            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-             m32, q32, s32) = carry
-
-            def s4_body(sc, s4):
-                """One 4x4 NxN sub-block (z-order chain inside an 8x8 cell)."""
-                recon_, m4_, q4_, cost_nxn, last_m4, mode8_, zdx, zdy = sc
-                sdx, sdy = s4 & 1, s4 >> 1
-
-                def enc4(slot):
-                    b4y = (cby[slot] * 4 + zdy) * 2 + sdy
-                    b4x = (cbx[slot] * 4 + zdx) * 2 + sdx
-                    return (encode_unit(4, frame, recon_, mode8_, b4y, b4x,
-                                        sel) + (b4y, b4x))
-
-                c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
-
-                def commit4(i, st):
-                    rc, mm, qq = st
-                    ok = valid[i]
-                    rc = commit_rec(rc, rec4[i], b4y[i] * 4, b4x[i] * 4, ok)
-                    r4, c4_ = masked_at(b4y[i], b4x[i], ok, h4)
-                    mm = mm.at[r4, c4_].set(m4b[i])
-                    qq = qq.at[r4, c4_].set(q4b[i])
-                    return rc, mm, qq
-
-                recon_, m4_, q4_ = jax.lax.fori_loop(
-                    0, b_max, commit4, (recon_, m4_, q4_))
-                return (recon_, m4_, q4_, cost_nxn + c4, m4b, mode8_, zdx,
-                        zdy), None
-
-            def z_body(zc, z):
-                """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
-                TEncSearch.cpp:2295-2303)."""
-                recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx, qdy = zc
-                zdx2 = qdx * 2 + (z & 1)
-                zdy2 = qdy * 2 + (z >> 1)
-
-                def enc8(slot):
-                    b8y = cby[slot] * 4 + zdy2
-                    b8x = cbx[slot] * 4 + zdx2
-                    return (encode_unit(8, frame, recon_, mode8_, b8y, b8x,
-                                        sel) + (b8y, b8x))
-
-                cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
-
-                if enable_nxn:
-                    # NxN: 4x4s predict from the evolving reconstruction
-                    # (the decoder reconstructs them in the same z-order);
-                    # if 2Nx2N wins, its rec overwrites the whole cell, so
-                    # the temporary 4x4 commits never leak outside it.
-                    (recon_, m4_, q4_, cost_nxn, last_m4, _, _, _), _ = \
-                        jax.lax.scan(
-                            s4_body,
-                            (recon_, m4_, q4_, jnp.zeros_like(cost8),
-                             jnp.zeros_like(mode8b), mode8_, zdx2, zdy2),
-                            jnp.arange(4))
-                    use2n = (cost8 + lam * SB["part_2nx2n"]
-                             < cost_nxn + lam * SB["part_nxn"])
-                    cell_cost = jnp.where(
-                        use2n, cost8 + lam * SB["part_2nx2n"],
-                        cost_nxn + lam * SB["part_nxn"])
-                else:
-                    # Speed knob: 8x8 cells are always 2Nx2N leaves (the
-                    # 4x4 z-chains are the critical-path hot spot).
-                    last_m4 = mode8b
-                    use2n = jnp.ones_like(cost8, bool)
-                    cell_cost = cost8 + lam * SB["part_2nx2n"]
-
-                def commit_cell(i, st):
-                    rc, md, m8x, q8x, c8x, s8x = st
-                    ok = valid[i]
-                    ok2n = jnp.logical_and(ok, use2n[i])
-                    rc = commit_rec(rc, rec8[i], b8y[i] * 8, b8x[i] * 8,
-                                    ok2n)
-                    r, cc = masked_at(b8y[i], b8x[i], ok, h8)
-                    # MPM context at 8-granularity: the 2Nx2N mode, or the
-                    # bottom-right 4x4's mode when NxN wins.
-                    md = md.at[r, cc].set(
-                        jnp.where(use2n[i], mode8b[i], last_m4[i]))
-                    m8x = m8x.at[r, cc].set(mode8b[i])
-                    q8x = q8x.at[r, cc].set(q8b[i])
-                    c8x = c8x.at[r, cc].set(cell_cost[i])
-                    s8x = s8x.at[r, cc].set(
-                        jnp.where(use2n[i], 0, 1).astype(jnp.int32))
-                    return rc, md, m8x, q8x, c8x, s8x
-
-                recon_, mode8_, m8_, q8_, c8_, s8_ = jax.lax.fori_loop(
-                    0, b_max, commit_cell,
-                    (recon_, mode8_, m8_, q8_, c8_, s8_))
-                return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
-                        qdy), None
+            (recon, mode8, c8) = carry
 
             def quad_body(qc, quad):
-                (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_, q16_,
-                 s16_, qsum) = qc
+                recon_, mode8_, c8_, qsum = qc
                 qdx, qdy = quad & 1, quad >> 1
 
-                (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, _, _), _ = \
-                    jax.lax.scan(
-                        z_body,
-                        (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, qdx,
-                         qdy),
-                        jnp.arange(4))
+                def z_body(zc, z):
+                    """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
+                    TEncSearch.cpp:2295-2303)."""
+                    recon_, mode8_, c8_ = zc
+                    zdx2 = qdx * 2 + (z & 1)
+                    zdy2 = qdy * 2 + (z >> 1)
+
+                    def enc8(slot):
+                        b8y = cby[slot] * 4 + zdy2
+                        b8x = cbx[slot] * 4 + zdx2
+                        return (encode_unit(8, frame, recon_, mode8_, b8y,
+                                            b8x, sel) + (b8y, b8x))
+
+                    cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
+
+                    def s4_body(sc, s4):
+                        """One 4x4 NxN sub-block (z-order chain inside an
+                        8x8 cell); reads the cell-entry mode map (4x4 PUs
+                        cannot be their own MPM neighbours mid-cell)."""
+                        recon4, cost_nxn, last_m4 = sc
+                        sdx, sdy = s4 & 1, s4 >> 1
+
+                        def enc4(slot):
+                            b4y = (cby[slot] * 4 + zdy2) * 2 + sdy
+                            b4x = (cbx[slot] * 4 + zdx2) * 2 + sdx
+                            return (encode_unit(4, frame, recon4, mode8_,
+                                                b4y, b4x, sel) + (b4y, b4x))
+
+                        c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
+
+                        recon4 = scat_rec(recon4, rec4, b4y * 4, b4x * 4,
+                                          valid)
+                        return ((recon4, cost_nxn + c4, m4b),
+                                {"m4": m4b, "q4": q4b})
+
+                    ys = {}
+                    if enable_nxn:
+                        # NxN: 4x4s predict from the evolving reconstruction
+                        # (the decoder reconstructs them in the same
+                        # z-order); if 2Nx2N wins, its rec overwrites the
+                        # whole cell, so the temporary 4x4 commits never
+                        # leak outside it.
+                        (recon_, cost_nxn, last_m4), ys4 = jax.lax.scan(
+                            s4_body,
+                            (recon_, jnp.zeros_like(cost8),
+                             jnp.zeros_like(mode8b)),
+                            jnp.arange(4))
+                        ys.update(ys4)
+                        use2n = (cost8 + lam * SB["part_2nx2n"]
+                                 < cost_nxn + lam * SB["part_nxn"])
+                        cell_cost = jnp.where(
+                            use2n, cost8 + lam * SB["part_2nx2n"],
+                            cost_nxn + lam * SB["part_nxn"])
+                    else:
+                        # Speed knob: 8x8 cells are always 2Nx2N leaves (the
+                        # 4x4 z-chains are the critical-path hot spot).
+                        last_m4 = mode8b
+                        use2n = jnp.ones_like(cost8, bool)
+                        cell_cost = cost8 + lam * SB["part_2nx2n"]
+
+                    ok2n = jnp.logical_and(valid, use2n)
+                    recon_ = scat_rec(recon_, rec8, b8y * 8, b8x * 8, ok2n)
+                    # MPM context at 8-granularity: the 2Nx2N mode, or the
+                    # bottom-right 4x4's mode when NxN wins.
+                    mode8_ = scat_cells(mode8_, b8y, b8x,
+                                        jnp.where(use2n, mode8b, last_m4),
+                                        valid)
+                    c8_ = scat_cells(c8_, b8y, b8x, cell_cost, valid)
+                    ys.update(m8=mode8b, q8=q8b,
+                              s8=jnp.where(use2n, 0, 1).astype(jnp.int32))
+                    return (recon_, mode8_, c8_), ys
+
+                (recon_, mode8_, c8_), ys_z = jax.lax.scan(
+                    z_body, (recon_, mode8_, c8_), jnp.arange(4))
 
                 def enc16(slot):
                     b16y = cby[slot] * 2 + qdy
@@ -864,37 +890,23 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 use16 = cost16f < cost8s
                 qcost_q = jnp.where(use16, cost16f, cost8s)
 
-                def commit16(i, st):
-                    rc, md, m16x, q16x, s16x = st
-                    ok = valid[i]
-                    ok16 = jnp.logical_and(ok, use16[i])
-                    rc = commit_rec(rc, rec16[i], b16y[i] * 16,
-                                    b16x[i] * 16, ok16)
-                    r, cc = masked_at(b16y[i], b16x[i], ok, h16)
-                    m16x = m16x.at[r, cc].set(mode16[i])
-                    q16x = q16x.at[r, cc].set(qq16[i])
-                    s16x = s16x.at[r, cc].set(
-                        jnp.where(use16[i], 0, 1).astype(jnp.int32))
-                    # Decided modes at 8-granularity feed later MPMs.
-                    r8, c8_0 = masked_at(b16y[i] * 2, b16x[i] * 2, ok16, h8)
-                    mfill = jnp.full((2, 2), mode16[i], jnp.int32)
-                    md = jax.lax.dynamic_update_slice(
-                        md, jnp.where(ok16, mfill, jax.lax.dynamic_slice(
-                            md, (r8, c8_0), (2, 2))), (r8, c8_0))
-                    return rc, md, m16x, q16x, s16x
+                ok16 = jnp.logical_and(valid, use16)
+                recon_ = scat_rec(recon_, rec16, b16y * 16, b16x * 16, ok16)
+                # Decided modes at 8-granularity feed later MPMs.
+                mfill = jnp.broadcast_to(mode16[:, None, None],
+                                         (b_max, 2, 2))
+                mode8_ = scat_win(mode8_, b16y * 2, b16x * 2, mfill, ok16)
+                ys = dict(ys_z)
+                ys.update(m16=mode16, q16=qq16,
+                          s16=jnp.where(use16, 0, 1).astype(jnp.int32))
+                return (recon_, mode8_, c8_, qsum + qcost_q), ys
 
-                recon_, mode8_, m16_, q16_, s16_ = jax.lax.fori_loop(
-                    0, b_max, commit16, (recon_, mode8_, m16_, q16_, s16_))
-                return (recon_, mode8_, m8_, q8_, c8_, s8_, m4_, q4_, m16_,
-                        q16_, s16_, qsum + qcost_q), None
-
-            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16, qsum), _ \
-                = jax.lax.scan(
-                    quad_body,
-                    (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-                     jnp.zeros((b_max,), jnp.float32)
-                     + frame[0, 0].astype(jnp.float32) * 0),
-                    jnp.arange(4))
+            (recon, mode8, c8, qsum), ys_q = jax.lax.scan(
+                quad_body,
+                (recon, mode8, c8,
+                 jnp.zeros((b_max,), jnp.float32)
+                 + frame[0, 0].astype(jnp.float32) * 0),
+                jnp.arange(4))
 
             # --- 32x32 candidate ---
             def enc32(slot):
@@ -907,36 +919,20 @@ def _build_wavefront2(height: int, width: int, qp: int,
             use32 = cost32f < cost_quads
             c32_best = jnp.where(use32, cost32f, cost_quads)
 
-            def commit32(i, st):
-                recon_, mode8_, m32_, q32_, s32_ = st
-                ok = valid[i]
-                ok32 = jnp.logical_and(ok, use32[i])
-                recon_ = commit_rec(recon_, rec32[i],
-                                    cby[i] * 32, cbx[i] * 32, ok32)
-                r, cc = masked_at(cby[i], cbx[i], ok, nby)
-                m32_ = m32_.at[r, cc].set(mode32[i])
-                q32_ = q32_.at[r, cc].set(qq32[i])
-                s32_ = s32_.at[r, cc].set(
-                    jnp.where(use32[i], 0, 1).astype(jnp.int32))
-                r8, c8_0 = masked_at(cby[i] * 4, cbx[i] * 4, ok32, h8)
-                mfill = jnp.full((4, 4), mode32[i], jnp.int32)
-                mode8_ = jax.lax.dynamic_update_slice(
-                    mode8_, jnp.where(ok32, mfill, jax.lax.dynamic_slice(
-                        mode8_, (r8, c8_0), (4, 4))), (r8, c8_0))
-                return recon_, mode8_, m32_, q32_, s32_
+            ok32 = jnp.logical_and(valid, use32)
+            recon = scat_rec(recon, rec32, cby * 32, cbx * 32, ok32)
+            mfill = jnp.broadcast_to(mode32[:, None, None], (b_max, 4, 4))
+            mode8 = scat_win(mode8, cby * 4, cbx * 4, mfill, ok32)
 
-            recon, mode8, m32, q32, s32 = jax.lax.fori_loop(
-                0, b_max, commit32, (recon, mode8, m32, q32, s32))
+            ys = dict(ys_q)
+            ys.update(m32=mode32, q32=qq32,
+                      s32=jnp.where(use32, 0, 1).astype(jnp.int32))
+            return (recon, mode8, c8), c32_best, ys
 
-            return (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-                    m32, q32, s32), c32_best
-
-        carry = (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-                 m32, q32, s32)
+        carry = (recon, mode8, c8)
         if ctb == 32:
-            carry, _ = encode_ctb32(carry, scby, scbx)
-            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-             m32, q32, s32) = carry
+            carry, _, ys_step = encode_ctb32(carry, scby, scbx)
+            (recon, mode8, c8) = carry
         else:
             # --- CTB 64: four 32-quadrants in z-order, then a 64x64
             #     2Nx2N candidate (one signalled mode, four forced TU32s
@@ -945,17 +941,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
             def quad64_body(qc, quad):
                 carry, csum = qc
                 qdx, qdy = quad & 1, quad >> 1
-                carry, c32_best = encode_ctb32(
+                carry, c32_best, ys32 = encode_ctb32(
                     carry, scby * 2 + qdy, scbx * 2 + qdx)
-                return (carry, csum + c32_best), None
+                return (carry, csum + c32_best), ys32
 
-            (carry, csum64), _ = jax.lax.scan(
+            (carry, csum64), ys_sub = jax.lax.scan(
                 quad64_body,
                 (carry, jnp.zeros((b_max,), jnp.float32)
                  + frame[0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
-            (recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, s16,
-             m32, q32, s32) = carry
+            (recon, mode8, c8) = carry
 
             c32c = size_consts[32]
             uf35 = jnp.asarray(c32c["use_filt"])
@@ -1066,26 +1061,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
             cost64, mode64, rec64, qq64 = jax.vmap(enc64)(slots)
             use64 = cost64 + lam * SB["split0"] < csum64 + lam * SB["split1"]
 
-            def commit64(i, st):
-                recon_, mode8_, m64_, q64_, s64_ = st
-                ok = valid[i]
-                ok64 = jnp.logical_and(ok, use64[i])
-                recon_ = commit_rec(recon_, rec64[i],
-                                    scby[i] * 64, scbx[i] * 64, ok64)
-                r, cc = masked_at(scby[i], scbx[i], ok, sby)
-                m64_ = m64_.at[r, cc].set(mode64[i])
-                q64_ = q64_.at[r, cc].set(qq64[i])
-                s64_ = s64_.at[r, cc].set(
-                    jnp.where(use64[i], 0, 1).astype(jnp.int32))
-                r8, c8_0 = masked_at(scby[i] * 8, scbx[i] * 8, ok64, h8)
-                mfill = jnp.full((8, 8), mode64[i], jnp.int32)
-                mode8_ = jax.lax.dynamic_update_slice(
-                    mode8_, jnp.where(ok64, mfill, jax.lax.dynamic_slice(
-                        mode8_, (r8, c8_0), (8, 8))), (r8, c8_0))
-                return recon_, mode8_, m64_, q64_, s64_
-
-            recon, mode8, m64, q64, s64 = jax.lax.fori_loop(
-                0, b_max, commit64, (recon, mode8, m64, q64, s64))
+            ok64 = jnp.logical_and(valid, use64)
+            recon = scat_rec(recon, rec64, scby * 64, scbx * 64, ok64)
+            mfill = jnp.broadcast_to(mode64[:, None, None], (b_max, 8, 8))
+            mode8 = scat_win(mode8, scby * 8, scbx * 8, mfill, ok64)
+            ys_step = dict(sub=ys_sub, m64=mode64, q64=qq64,
+                           s64=jnp.where(use64, 0, 1).astype(jnp.int32))
 
         if halo_axis is not None:
             # Causal halo over ICI: each stripe's bottom CTB-row of
@@ -1101,64 +1082,126 @@ def _build_wavefront2(height: int, width: int, qp: int,
             new_halo = jnp.where(d == 0, keep, recv)
             recon = jax.lax.dynamic_update_slice(recon, new_halo, (0, 0))
 
-        if ctb == 64:
-            return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16,
-                    c16, s16, m32, q32, s32, m64, q64, s64)
-        return (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
-                s16, m32, q32, s32)
+        return (frame, recon, mode8, c8), ys_step
 
     def run(frame_u8):
+        """Returns (recon (height, width) int32, ys) where ys is the pytree
+        of per-step stacked decisions (leading axis n_steps), assembled into
+        the round-3 grid format by `_assemble_arrays` on the host."""
         frame = frame_u8.astype(jnp.int32)
         zero = frame[0, 0] * 0
-        h4, w4 = height // 4, width // 4
         h8, w8 = height // 8, width // 8
-        h16, w16 = height // 16, width // 16
-        # Scratch rows at the bottom absorb masked writes: scalar .at sets
-        # need 1 row, block dynamic_update_slice needs room for the largest
-        # update (JAX clamps starts, so short pads would corrupt real rows).
         # Right padding (PADW) keeps the NN context slices (above portion
         # reaches x + 2n - 1) in-bounds without start-clamp shifts; the pad
         # is never written and the strip masks zero anything beyond the
-        # picture.
+        # picture.  The bottom ctb rows absorb nothing anymore (masked
+        # commits are dropped by the scatters) but keep the halo geometry
+        # uniform.
         recon = jnp.zeros((top + height + ctb, width + PADW),
                           jnp.int32) + zero
         mode8 = jnp.full((h8 + ctb // 8, w8), 1, jnp.int32) + zero
-        m8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
-        q8 = jnp.zeros((h8 + 1, w8, 8, 8), jnp.int32) + zero
         c8 = jnp.zeros((h8 + 1, w8), jnp.float32) + zero.astype(jnp.float32)
-        s8 = jnp.zeros((h8 + 1, w8), jnp.int32) + zero
-        m4 = jnp.zeros((h4 + 1, w4), jnp.int32) + zero
-        q4 = jnp.zeros((h4 + 1, w4, 4, 4), jnp.int32) + zero
-        m16 = jnp.zeros((h16 + 1, w16), jnp.int32) + zero
-        q16 = jnp.zeros((h16 + 1, w16, 16, 16), jnp.int32) + zero
-        c16 = jnp.zeros((h16 + 1, w16), jnp.float32) + zero.astype(jnp.float32)
-        s16 = jnp.zeros((h16 + 1, w16), jnp.int32) + zero
-        m32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
-        q32 = jnp.zeros((nby + 1, nbx, 32, 32), jnp.int32) + zero
-        s32 = jnp.zeros((nby + 1, nbx), jnp.int32) + zero
-        state = (frame, recon, mode8, m8, q8, c8, s8, m4, q4, m16, q16, c16,
-                 s16, m32, q32, s32)
-        if ctb == 64:
-            m64 = jnp.zeros((sby + 1, sbx), jnp.int32) + zero
-            q64 = jnp.zeros((sby + 1, sbx, 64, 64), jnp.int32) + zero
-            s64 = jnp.zeros((sby + 1, sbx), jnp.int32) + zero
-            state = state + (m64, q64, s64)
-        state = jax.lax.fori_loop(0, n_steps, step, state)
-        if ctb == 64:
-            (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
-             m32, q32, s32, m64, q64, s64) = state
-            return (recon[top:top + height, :width], m8[:h8], q8[:h8],
-                    s8[:h8], m4[:h4], q4[:h4],
-                    m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
-                    s32[:nby], m64[:sby], q64[:sby], s64[:sby])
-        (_f, recon, mode8, m8, q8, _c8, s8, m4, q4, m16, q16, _c16, s16,
-         m32, q32, s32) = state
-        return (recon[top:top + height, :width], m8[:h8], q8[:h8],
-                s8[:h8], m4[:h4], q4[:h4],
-                m16[:h16], q16[:h16], s16[:h16], m32[:nby], q32[:nby],
-                s32[:nby])
+        state = (frame, recon, mode8, c8)
+        state, ys = jax.lax.scan(step, state, jnp.arange(n_steps))
+        (_f, recon, mode8, c8) = state
+        return recon[top:top + height, :width], ys
 
     return run if halo_axis is not None else jax.jit(run)
+
+
+def _schedule(sby, sbx, b_max, n_steps, t_offset=0):
+    """Static wavefront schedule: (by, bx, valid), each (n_steps, b_max)."""
+    ts = np.arange(n_steps) - t_offset
+    by0 = np.maximum(0, -((sbx - 1 - ts) // 2))
+    by = by0[:, None] + np.arange(b_max)[None, :]
+    bx = ts[:, None] - 2 * by
+    ok = (by < sby) & (bx >= 0) & (bx < sbx)
+    return by, bx, ok
+
+
+def _assemble_arrays(ys, height, width, ctb, t_offset=0):
+    """Stacked per-step scan outputs -> the decided grid format.
+
+    Every write position is a pure function of the static schedule, so the
+    grids assemble on the HOST for free — no in-program scatters, no grid
+    state carried through 10k sub-stages.  Returns the same tuple (minus
+    recon) the round-3 device program produced.
+    """
+    def to_np(tree):
+        if isinstance(tree, dict):
+            return {k: to_np(v) for k, v in tree.items()}
+        return np.asarray(tree)
+
+    ys = to_np(ys)
+    h4, w4 = height // 4, width // 4
+    h8, w8 = height // 8, width // 8
+    h16, w16 = height // 16, width // 16
+    nby, nbx = height // 32, width // 32
+    sby, sbx = height // ctb, width // ctb
+    if ctb == 64:
+        n_steps, b_max = ys["m64"].shape
+    else:
+        n_steps, b_max = ys["m32"].shape
+    by, bx, ok = _schedule(sby, sbx, b_max, n_steps, t_offset)
+
+    m8 = np.zeros((h8, w8), np.int32)
+    q8 = np.zeros((h8, w8, 8, 8), np.int32)
+    s8 = np.zeros((h8, w8), np.int32)
+    m4 = np.zeros((h4, w4), np.int32)
+    q4 = np.zeros((h4, w4, 4, 4), np.int32)
+    m16 = np.zeros((h16, w16), np.int32)
+    q16 = np.zeros((h16, w16, 16, 16), np.int32)
+    s16 = np.zeros((h16, w16), np.int32)
+    m32 = np.zeros((nby, nbx), np.int32)
+    q32 = np.zeros((nby, nbx, 32, 32), np.int32)
+    s32 = np.zeros((nby, nbx), np.int32)
+
+    def fill32(sub, cby, cbx):
+        """One 32-root ys bundle at 32-grid coords (n_steps, b_max)."""
+        has_nxn = "m4" in sub
+        for quad in range(4):
+            qdx, qdy = quad & 1, quad >> 1
+            for z in range(4):
+                zdx2 = qdx * 2 + (z & 1)
+                zdy2 = qdy * 2 + (z >> 1)
+                b8y = (cby * 4 + zdy2)[ok]
+                b8x = (cbx * 4 + zdx2)[ok]
+                m8[b8y, b8x] = sub["m8"][:, quad, z][ok]
+                q8[b8y, b8x] = sub["q8"][:, quad, z][ok]
+                s8[b8y, b8x] = sub["s8"][:, quad, z][ok]
+                if has_nxn:
+                    for s4 in range(4):
+                        sdx, sdy = s4 & 1, s4 >> 1
+                        b4y = (cby * 4 + zdy2) * 2 + sdy
+                        b4x = (cbx * 4 + zdx2) * 2 + sdx
+                        m4[b4y[ok], b4x[ok]] = \
+                            sub["m4"][:, quad, z, s4][ok]
+                        q4[b4y[ok], b4x[ok]] = \
+                            sub["q4"][:, quad, z, s4][ok]
+            b16y = (cby * 2 + qdy)[ok]
+            b16x = (cbx * 2 + qdx)[ok]
+            m16[b16y, b16x] = sub["m16"][:, quad][ok]
+            q16[b16y, b16x] = sub["q16"][:, quad][ok]
+            s16[b16y, b16x] = sub["s16"][:, quad][ok]
+        m32[cby[ok], cbx[ok]] = sub["m32"][ok]
+        q32[cby[ok], cbx[ok]] = sub["q32"][ok]
+        s32[cby[ok], cbx[ok]] = sub["s32"][ok]
+
+    if ctb == 64:
+        m64 = np.zeros((sby, sbx), np.int32)
+        q64 = np.zeros((sby, sbx, 64, 64), np.int32)
+        s64 = np.zeros((sby, sbx), np.int32)
+        for q64i in range(4):
+            qdx, qdy = q64i & 1, q64i >> 1
+            sub = {k: v[:, q64i] for k, v in ys["sub"].items()}
+            fill32(sub, by * 2 + qdy, bx * 2 + qdx)
+        m64[by[ok], bx[ok]] = ys["m64"][ok]
+        q64[by[ok], bx[ok]] = ys["q64"][ok]
+        s64[by[ok], bx[ok]] = ys["s64"][ok]
+        return (m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32,
+                m64, q64, s64)
+    fill32(ys, by, bx)
+    return (m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32)
 
 
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
@@ -1183,7 +1226,8 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
     h, w = frame_uint8.shape
     run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle, ctb=ctb,
                              enable_nxn=enable_nxn)
-    arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frame_uint8)))
+    recon, ys = run(jnp.asarray(frame_uint8))
+    arrays = (np.asarray(recon),) + _assemble_arrays(ys, h, w, ctb)
     return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
                              ctb=ctb)
 
@@ -1315,14 +1359,15 @@ def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle,
     run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle,
                              ctb=ctb, enable_nxn=enable_nxn)
     batched = jax.jit(jax.vmap(run))
-    _W2_BATCH_CACHE[key] = (batched, bundle)
+    _cache_put(_W2_BATCH_CACHE, key, (batched, bundle))
     return batched
 
 
 def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
                                    lam_scale: float = 1.0,
                                    policy: str = "regular", pnn=None,
-                                   serialize: bool = False, ctb: int = CTB):
+                                   serialize: bool = False, ctb: int = CTB,
+                                   enable_nxn: bool = True):
     """Encodes a BATCH of frames through one vmapped wavefront2 program.
 
     The sustained-throughput serving mode: the wavefront's sequential
@@ -1335,18 +1380,23 @@ def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
 
     Returns a list of `EncodeResult` (bitstreams empty unless `serialize`).
     """
+    import jax
     import jax.numpy as jnp
 
     bundle = getattr(pnn, "bundle", pnn)
     b, h, w = frames_uint8.shape
-    run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle, ctb)
-    arrays = tuple(np.asarray(a) for a in run(jnp.asarray(frames_uint8)))
-    return [
-        _arrays_to_result(frames_uint8[i], qp,
-                          tuple(a[i] for a in arrays), policy, serialize,
-                          ctb=ctb)
-        for i in range(b)
-    ]
+    run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle, ctb,
+                                   enable_nxn)
+    recon, ys = run(jnp.asarray(frames_uint8))
+    recon = np.asarray(recon)
+    ys = jax.tree_util.tree_map(np.asarray, ys)
+    out = []
+    for i in range(b):
+        ys_i = jax.tree_util.tree_map(lambda a: a[i], ys)
+        arrays = (recon[i],) + _assemble_arrays(ys_i, h, w, ctb)
+        out.append(_arrays_to_result(frames_uint8[i], qp, arrays, policy,
+                                     serialize, ctb=ctb))
+    return out
 
 
 def encode_frame_wavefront2_hm(frame_uint8: np.ndarray, qp: int, *,
