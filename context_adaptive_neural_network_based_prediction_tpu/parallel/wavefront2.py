@@ -206,18 +206,35 @@ def _build_wavefront2(height: int, width: int, qp: int,
                       ctb: int = CTB, enable_nxn: bool = True):
     """Builds the jitted quadtree wavefront encoder (CTB `ctb` in {32, 64}).
 
-    With `halo_axis`/`n_tiles` the function is meant to run per-device under
-    `shard_map`: each device encodes a `height`-tall stripe of CTB rows on
-    the GLOBAL wavefront schedule (stripe d offset by 2*d*nby steps) and
-    after every step `ppermute`s its bottom CTB-row of reconstructed pixels
-    down the mesh.  The halo is a full CTB (32 pixel rows) because the NN
-    context portions reach up `n` rows above a block (`extraction_context
-    .cpp`), not just the 1-pixel HM reference line.  Reference-sample and
-    NN-context tables for non-top stripes are the *interior* variants (the
-    stripe-top CTB row behaves like any interior CTB row of the unsharded
-    frame), so the sharded encode is bit-exact vs single-device — the
-    framework's CP/halo analog over ICI for the RD-grade encoder
-    (SURVEY §2.4 last row, §5 long-context analog).
+    **Skewed (systolic) storage** — the round-4 restructure that removes the
+    dispatch floor.  All spatial state (frame, reconstruction, MPM mode map,
+    cell costs) is stored as per-CTB-row planes with row `by` shifted right
+    by `2*ctb*by`: a wavefront anti-diagonal t = bx + 2*by then maps to ONE
+    contiguous column window x' = t*ctb + [0, ctb) across ALL planes.  Every
+    sub-stage commit becomes a single box `dynamic_update_slice` over the
+    slot axis (all slots share the same in-CTB offset), and slot-masked
+    writes need no masking at all: invalid slots land in void or padding
+    regions that no valid read ever touches.  Round 3's per-slot scatter /
+    fori-loop commits — each forcing SMEM index traffic or a whole-buffer
+    copy — disappear entirely.
+
+    Reference-sample fetch stays table-driven and bit-exact: for every
+    (block size, grid position) the golden-tested host fill runs on an
+    id-coded image at build time, and the resulting per-sample sources are
+    stored as (plane delta, source row, x' offset relative to t*ctb)
+    triplets.  Positions with identical triplet tables are DEDUPED into
+    classes (interior positions all share one class), so the baked
+    constants shrink by ~100x — this is also what lets the NN-policy
+    program compile at 1080p (round-3 "known issue").
+
+    With `halo_axis`/`n_tiles` the function runs per-device under
+    `shard_map`: each device encodes a stripe of CTB rows on the GLOBAL
+    wavefront schedule (stripe d offset by 2*d*sby steps) and after every
+    step `ppermute`s its bottom reconstruction plane down the mesh into the
+    receiver's halo plane (index 0), re-aligned into the receiver's skew
+    frame by a static roll.  Tables for non-top stripes are the *interior*
+    variants, so the sharded encode stays bit-exact vs single-device — the
+    framework's CP/halo analog over ICI (SURVEY §2.4 last row).
     """
     import jax
     import jax.numpy as jnp
@@ -237,22 +254,63 @@ def _build_wavefront2(height: int, width: int, qp: int,
         raise ValueError("ctb must be 32 or 64")
     if ctb == 64 and halo_axis is not None:
         raise NotImplementedError("halo sharding currently ships for CTB 32")
-    top = CTB if halo_axis else 0     # halo pixel rows above the stripe
 
     if height % ctb or width % ctb:
         raise ValueError(f"wavefront2 needs frame dims that are multiples "
                          f"of {ctb} (crop/pad first)")
-    # nbx/nby: the 32-block grid (quadtree root below the optional 64 level).
-    nbx, nby = width // CTB, height // CTB
     # Schedule grid: CTBs of the configured size.
     sbx, sby = width // ctb, height // ctb
     n_steps = (sbx - 1) + 2 * (sby * n_tiles - 1) + 1
     b_max = min(sby, (sbx + 1) // 2 + 1)
+    slots_np = np.arange(b_max)
+    # Skew geometry.  OFF: left margin so reads reaching two planes up
+    # (x' -= 2*ctb) and 2n left stay in bounds at t=0.  PH: plane height
+    # with 32 pad rows so NN left-portion slices never clamp-shift.
+    # ROW0 = 1: plane 0 is the halo plane (zeros when unsharded; blocks
+    # that would read it have availability masks 0 there).
+    ROW0 = 1
+    OFF = 2 * ctb + 64
+    # +32 right margin: the NN above-portion slice reaches x + 2n - 1, i.e.
+    # x' up to n_steps*ctb + OFF + n - 1; without the margin dynamic_slice
+    # clamp-shifts the window at the frame's right edge.
+    W_sk = n_steps * ctb + OFF + 32
+    PH = ctb + 32
+    n_planes = ROW0 + sby + b_max - 1
+    cu8 = ctb // 8
+    OFF8 = OFF // 8
+    W8 = n_steps * cu8 + OFF8 + cu8
     # lam_scale compensates the static rate model's systematic underestimate
     # of real CABAC bits (no context adaptation): decisions use a stiffer
     # lambda so the operating point lands on HM's rate.
     lam = rdo.lambda_for_qp(qp) * lam_scale
     per, rem = qp // 6, qp % 6
+
+    def skew_triplets(tt, tl, n):
+        """(nbyn, nbxn, 3, 2(2n+1)) per-sample (plane delta | -9 DC,
+        source row, x' offset relative to t*ctb) from (dy, dx) tables."""
+        nbyn, nbxn = tt.shape[0], tt.shape[1]
+        dy = np.concatenate([tt[:, :, 0, :], tl[:, :, 0, :]], -1)
+        dx = np.concatenate([tt[:, :, 1, :], tl[:, :, 1, :]], -1)
+        y = (np.arange(nbyn) * n)[:, None, None]
+        x = (np.arange(nbxn) * n)[None, :, None]
+        pb = y // ctb
+        tpos = x // ctb + 2 * pb
+        sy, sx = y + dy, x + dx
+        ps = np.floor_divide(sy, ctb)
+        d = (ps - pb).astype(np.int32)
+        lys = (sy - ps * ctb).astype(np.int32)
+        rxs = (sx + 2 * ctb * ps + OFF - tpos * ctb).astype(np.int32)
+        sent = dy <= -(10 ** 4) // 2
+        d[sent], lys[sent], rxs[sent] = -9, 0, 0
+        return np.stack([d, lys, rxs], axis=2)
+
+    def dedupe(stacked):
+        """(V, nby, nbx, ...) -> (class table (C, ...), cmap (V, nby, nbx))."""
+        v, a, b = stacked.shape[:3]
+        flat = stacked.reshape(v * a * b, -1)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        ctab = uniq.reshape((-1,) + stacked.shape[3:])
+        return ctab, inv.reshape(v, a, b).astype(np.int32)
 
     # Per-size constant bundles.  4x4 luma intra TUs use the DST-VII
     # (normative, transform.py:68-84); all others the DCT-II.
@@ -263,19 +321,20 @@ def _build_wavefront2(height: int, width: int, qp: int,
             [False if m == 1 else
              min(abs(m - 10), abs(m - 26)) > rs.FILTER_THRESHOLD[n]
              for m in range(35)])
-        # Gather tables with a leading "variant" axis: [0] = frame-boundary
-        # (top stripe / unsharded), [1] = interior (stripe-top CTB row sees
-        # a coded CTB row above, delivered through the halo).  Interior
-        # tables are the rows-after-the-first-CTB-row of a one-CTB-taller
-        # frame's tables (offsets are origin-relative, so they transplant).
+        # Variant 0 = frame-boundary (top stripe / unsharded); variant 1 =
+        # interior (stripe-top CTB row sees a coded CTB row above through
+        # the halo plane).  Interior tables are the rows-after-the-first-
+        # CTB-row of a one-CTB-taller frame's tables.
         tt, tl = _fill_tables(height, width, n, ctb)
+        trips = [skew_triplets(tt, tl, n)]
         if halo_axis:
-            ti_t, ti_l = _fill_tables(height + CTB, width, n, ctb)
             k = CTB // n
-            tt = np.stack([tt, ti_t[k:]])
-            tl = np.stack([tl, ti_l[k:]])
-        else:
-            tt, tl = tt[None], tl[None]
+            ti_t, ti_l = _fill_tables(height + CTB, width, n, ctb)
+            # Local origin: shift dy by nothing (offsets are origin-
+            # relative); sources above the stripe map to plane -1 (halo)
+            # via the floor division in skew_triplets.
+            trips.append(skew_triplets(ti_t[k:], ti_l[k:], n))
+        ctab, cmap = dedupe(np.stack(trips))
         log2n = n.bit_length() - 1
         tshift = 15 - 8 - log2n
         sig0, sig1 = rate_model.sig_bits_tables(qp, n)
@@ -290,7 +349,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
             inv_gather[st, sgather[st]] = np.arange(n * n, dtype=np.int32)
         size_consts[n] = dict(
             g0=g0, g1=g1, frac=frac, use_filt=use_filt,
-            tab_top=tt, tab_left=tl,
+            ctab=ctab, cmap=cmap,
             t_fwd=np.asarray(transform.DST4_FWD if n == 4
                              else transform.dct_matrix(n, True), np.int32),
             t_inv=np.asarray(transform.DST4 if n == 4
@@ -308,17 +367,19 @@ def _build_wavefront2(height: int, width: int, qp: int,
         )
         if n in nn_widths:
             ctx_ok, am, lm = _nn_ctx_tables(height, width, n, ctb)
+            variants = [np.concatenate(
+                [ctx_ok[..., None].astype(np.float32), am, lm], -1)]
             if halo_axis:
                 k = CTB // n
                 io, ia, il = _nn_ctx_tables(height + CTB, width, n, ctb)
-                ctx_ok = np.stack([ctx_ok, io[k:]])
-                am = np.stack([am, ia[k:]])
-                lm = np.stack([lm, il[k:]])
-            else:
-                ctx_ok, am, lm = ctx_ok[None], am[None], lm[None]
-            size_consts[n]["nn_ok"] = ctx_ok
-            size_consts[n]["nn_amask"] = am
-            size_consts[n]["nn_lmask"] = lm
+                variants.append(np.concatenate(
+                    [io[k:][..., None].astype(np.float32), ia[k:], il[k:]],
+                    -1))
+            nn_tab, nn_cmap = dedupe(np.stack(variants))
+            size_consts[n]["nn_ok_c"] = nn_tab[:, 0] > 0.5
+            size_consts[n]["nn_am_c"] = nn_tab[:, 1:1 + 3 * n]
+            size_consts[n]["nn_lm_c"] = nn_tab[:, 1 + 3 * n:]
+            size_consts[n]["nn_cmap"] = nn_cmap
             size_consts[n]["nn_q"] = qmodels[n]
             size_consts[n]["nn_fc"] = bundle.is_fully_connected[n]
             size_consts[n]["nn_mean"] = bundle.mean_for(n)
@@ -329,21 +390,6 @@ def _build_wavefront2(height: int, width: int, qp: int,
     # (rate_model docstring; exact CABAC packing happens on the host).
     SB = rate_model.scalar_bits(qp)
     MODE_BITS = rate_model.mode_bits_table(qp)
-
-    def refs_for(n, recon, by, bx, sel):
-        c = size_consts[n]
-        tt = jnp.asarray(c["tab_top"])[sel, by, bx]
-        tl = jnp.asarray(c["tab_left"])[sel, by, bx]
-        y, x = by * n, bx * n
-
-        def gather(tab):
-            dy, dx = tab[0], tab[1]
-            ok = dy > -(10 ** 4) // 2
-            sy = jnp.clip(y + top + dy, 0, top + height - 1)
-            sx = jnp.clip(x + dx, 0, width - 1)
-            return jnp.where(ok, recon[sy, sx], 128)
-
-        return gather(tt), gather(tl)
 
     def filter_refs(n, ref_top, ref_left):
         corner = ref_top[0]
@@ -429,42 +475,6 @@ def _build_wavefront2(height: int, width: int, qp: int,
                      -32768, 32767)
         return jnp.clip((jnp.einsum("mik,kn->min", e, t) + (1 << 11)) >> 12,
                         -32768, 32767)
-
-    def mode_bits_for(mode8, n, by, bx):
-        """MPM-aware mode-bit estimate; neighbour modes at 8-granularity."""
-        y, x = by * n, bx * n
-        y8, x8 = y // 8, x // 8
-        left_mode = jnp.where(x8 > 0, mode8[y8, jnp.maximum(x8 - 1, 0)], 1)
-        # The mode map is kept at 8-granularity; for 4x4 sub-blocks whose top
-        # edge is NOT 8-aligned (y % 8 == 4), mode8[y8 - 1] would be the cell
-        # row above the enclosing cell — which crosses the CTB row boundary
-        # for top-cell NxN blocks and is invisible to a halo-sharded stripe.
-        # Gate those to DC so the estimate is identical for every sharding.
-        above_ok = jnp.logical_and(
-            jnp.logical_and(y8 > 0, (y % ctb) != 0), (y % 8) == 0)
-        above_mode = jnp.where(above_ok,
-                               mode8[jnp.maximum(y8 - 1, 0), x8], 1)
-        same = left_mode == above_mode
-        lm, am = left_mode, above_mode
-        mpm_same = jnp.where(
-            lm > 1,
-            jnp.stack([lm, ((lm + 29) % 32) + 2, ((lm - 1) % 32) + 2]),
-            jnp.stack([jnp.int32(0), jnp.int32(1), jnp.int32(26)]))
-        m2 = jnp.where(jnp.logical_and(lm != 0, am != 0), 0,
-                       jnp.where(lm + am < 2, 26, 1))
-        mpms = jnp.where(same, mpm_same, jnp.stack([lm, am, m2]))
-        ids = jnp.arange(35)
-        is0 = ids == mpms[0]
-        ismpm = is0 | (ids == mpms[1]) | (ids == mpms[2])
-        base = jnp.where(is0, MODE_BITS[0],
-                         jnp.where(ismpm, MODE_BITS[1], MODE_BITS[3]))
-        if n_modes == 36:
-            # Every normal mode pays pnns_flag=0; PNNS pays only the flag
-            # (TEncSbac::codeIntraDirLumaAng switch-codec bin order).
-            return jnp.concatenate(
-                [base + SB["pnns0"],
-                 jnp.full((1,), SB["pnns1"], jnp.float32)])
-        return base
 
     # All decision-steering rate/distortion REDUCTIONS below run in fixed-
     # point int32: float reductions are not reduction-order invariant, and
@@ -637,120 +647,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
         q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(n_modes, n, n)
         return q, tu_bits
 
-    def nn_predict(n, recon, by, bx, sel):
-        """Batched-on-device normative PNN prediction for one n x n unit.
-
-        Context slices from the evolving reconstruction, masked by the
-        static strip tables, through the deterministic quantized forward —
-        the device analog of `nn_intra.PnnPredictor.predict` (bit-exact with
-        it by integer-accumulation invariance)."""
-        c = size_consts[n]
-        y, x = by * n + top, bx * n
-        ok = jnp.asarray(c["nn_ok"])[sel, by, bx]
-        am = jnp.asarray(c["nn_amask"])[sel, by, bx]
-        lmk = jnp.asarray(c["nn_lmask"])[sel, by, bx]
-        mean = c["nn_mean"]
-        above_pix = jax.lax.dynamic_slice(recon, (y - n, x - n), (n, 3 * n))
-        left_pix = jax.lax.dynamic_slice(recon, (y, x - n), (2 * n, n))
-        above_f = (above_pix.astype(jnp.float32) - mean) * am[None, :]
-        left_f = (left_pix.astype(jnp.float32) - mean) * lmk[:, None]
-        if c["nn_fc"]:
-            inp = jnp.concatenate([above_f.reshape(1, -1),
-                                   left_f.reshape(1, -1)], axis=1)
-        else:
-            inp = (above_f[None, :, :, None], left_f[None, :, :, None])
-        pred = pnn_q.predict_pixels_q(c["nn_q"], inp, n, c["nn_fc"], mean)[0]
-        # Context unavailable -> zero prediction (TComPrediction.cpp:645-663).
-        return jnp.where(ok, pred, 0)
-
-    def encode_unit(n, frame, recon, mode8, by, bx, sel=0):
-        """n_modes-mode trial of one n x n unit; returns (cost, mode, rec, q).
-
-        cost = SSE + lambda * (mode + calibrated TU bits), excluding
-        structure flags (added by the caller per tree option)."""
-        c = size_consts[n]
-        ref_top, ref_left = refs_for(n, recon, by, bx, sel)
-        f_top, f_left = filter_refs(n, ref_top, ref_left)
-        preds_u = predict35(n, ref_top, ref_left)
-        preds_f = predict35(n, f_top, f_left)
-        uf = jnp.asarray(c["use_filt"])[:, None, None]
-        preds = jnp.where(uf, preds_f, preds_u)
-        if n in nn_widths:
-            nn_pred = nn_predict(n, recon, by, bx, sel)
-            if policy == "substitution":
-                preds = preds.at[18].set(nn_pred)
-            else:
-                preds = jnp.concatenate([preds, nn_pred[None]], axis=0)
-        elif n_modes == 36:
-            # Switch without a model at this width: PNNS decodes to the
-            # zero prediction (never competitive, but normative).
-            preds = jnp.concatenate(
-                [preds, jnp.zeros((1, n, n), jnp.int32)], axis=0)
-        y, x = by * n, bx * n
-        orig = jax.lax.dynamic_slice(frame, (y, x), (n, n)).astype(jnp.int32)
-        resi = orig[None] - preds
-        coeff = fwd_t(n, resi)
-        q, tu_bits = quantize_rd(n, coeff)
-        if c["iq_shift"] > 0:
-            deq = (q * iq_scale + (1 << (c["iq_shift"] - 1))) >> c["iq_shift"]
-        else:
-            deq = (q * iq_scale) << (-c["iq_shift"])
-        deq = jnp.clip(deq, -32768, 32767)
-        rec = jnp.clip(preds + inv_t(n, deq), 0, 255)
-        sse = jnp.sum((rec - orig[None]) ** 2, axis=(1, 2)).astype(jnp.float32)
-        cost = sse + lam * (tu_bits + mode_bits_for(mode8, n, by, bx))
-        best = jnp.argmin(cost).astype(jnp.int32)
-        return cost[best], best, rec[best], q[best]
-
-    # ---- batched masked commits -------------------------------------------
-    # Round-3 committed per-slot via `fori_loop`s of dynamic updates; XLA
-    # could not alias the carried buffers across those loop iterations and
-    # inserted a whole-buffer copy per slot per sub-stage (profiled on the
-    # chip: ~150k %copy-start events ~= 2.5k/step, 5.1 s of a 1.95 s wall at
-    # 512x960 - THE dispatch floor of VERDICT r3).  One scatter per buffer
-    # per sub-stage commits all slots at once: windows are disjoint across
-    # slots (different CTBs of the anti-diagonal), masked-off slots are
-    # redirected to per-slot out-of-bounds rows and dropped by the scatter.
-
-    def _scatter(buf, idx, upd, dnums):
-        import jax.lax as lax
-        return lax.scatter(
-            buf, idx, upd, dnums, indices_are_sorted=False,
-            unique_indices=True, mode=lax.GatherScatterMode.FILL_OR_DROP)
-
-    def _drop_idx(ys, xs, oks, oob_dim):
-        # Distinct out-of-bounds rows per masked slot keep the
-        # unique_indices promise honest even for the dropped updates.
-        ys = jnp.where(oks, ys, oob_dim + jnp.arange(ys.shape[0]))
-        xs = jnp.where(oks, xs, 0)
-        return jnp.stack([ys, xs], axis=1).astype(jnp.int32)
-
-    def scat_cells(buf, ys, xs, upd, oks):
-        """buf[(ys, xs)] = upd for slots with oks; upd (b, *buf.shape[2:])."""
-        import jax.lax as lax
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=tuple(range(1, upd.ndim)),
-            inserted_window_dims=(0, 1),
-            scatter_dims_to_operand_dims=(0, 1))
-        return _scatter(buf, _drop_idx(ys, xs, oks, buf.shape[0]), upd,
-                        dnums)
-
-    def scat_win(buf, ys, xs, upd, oks):
-        """2-D window commit: buf[y:y+n, x:x+m] = upd[i] per slot."""
-        import jax.lax as lax
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(1, 2),
-            inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0, 1))
-        return _scatter(buf, _drop_idx(ys, xs, oks, buf.shape[0]), upd,
-                        dnums)
-
-    def scat_rec(recon_, recs, ys, xs, oks):
-        """Reconstruction block commit (pixel coords; halo offset applied)."""
-        return scat_win(recon_, ys + top, xs, recs, oks)
-
     def step(state, t):
-        (frame, recon, mode8, c8) = state
+        (frame_sk, recon_sk, mode8_sk, c8_sk) = state
         if halo_axis is not None:
             d = jax.lax.axis_index(halo_axis)
             t_loc = t - 2 * sby * d     # global schedule, stripe offset
@@ -759,33 +657,195 @@ def _build_wavefront2(height: int, width: int, qp: int,
             t_loc = t
             sel = 0
         slots = jnp.arange(b_max)
-        # Wavefront schedule over the configured CTB grid (sby, sbx).
         by0 = jnp.maximum(0, -((sbx - 1 - t_loc) // 2))
         by_ids = by0 + slots
         bx_ids = t_loc - 2 * by_ids
-        valid = (by_ids < sby) & (bx_ids >= 0) & (bx_ids < sbx)
-        scby = jnp.minimum(by_ids, sby - 1)
-        scbx = jnp.clip(bx_ids, 0, sbx - 1)
+
+        def refs_for_b(n, recon_now, ly, lx):
+            """Batched bit-exact HM reference arrays for all slots: one
+            class lookup + one (b, 2(2n+1)) gather from the skewed recon."""
+            c = size_consts[n]
+            un = ctb // n
+            by_n = jnp.clip(by_ids * un + ly // n, 0, height // n - 1)
+            bx_n = jnp.clip(bx_ids * un + lx // n, 0, width // n - 1)
+            cls = jnp.asarray(c["cmap"])[sel, by_n, bx_n]
+            trip = jnp.asarray(c["ctab"])[cls]               # (b, 3, S)
+            dpl, lys, rxs = trip[:, 0], trip[:, 1], trip[:, 2]
+            ok = dpl > -5
+            plane = jnp.clip(by_ids[:, None] + ROW0 + dpl, 0, n_planes - 1)
+            xi = jnp.clip(t_loc * ctb + rxs, 0, W_sk - 1)
+            vals = jnp.take(recon_now.reshape(-1),
+                            (plane * PH + lys) * W_sk + xi, mode="clip")
+            refs = jnp.where(ok, vals, 128)
+            s = 2 * n + 1
+            return refs[:, :s], refs[:, s:]
+
+        def mode_bits_b(n, mode8_now, ly, lx):
+            """MPM-aware per-slot mode-bit estimates (b, n_modes); the
+            8-granularity mode map is read with two box slices."""
+            ly8 = ly // 8
+            x8i = t_loc * cu8 + lx // 8 + OFF8
+            lm_read = jax.lax.dynamic_slice(
+                mode8_now, (by0, ly8, x8i - 1), (b_max, 1, 1))[:, 0, 0]
+            left_gate = (bx_ids * ctb + lx) >= 8
+            lm = jnp.where(left_gate, lm_read, 1)
+            # The mode map is kept at 8-granularity; 4x4 sub-blocks whose
+            # top edge is not 8-aligned would read across the CTB row for
+            # top cells — gate to DC so the estimate is sharding-invariant
+            # (ly >= 8 also excludes the stripe-top row, y % ctb == 0).
+            above_ok = jnp.logical_and(ly >= 8, (ly % 8) == 0)
+            am_read = jax.lax.dynamic_slice(
+                mode8_now, (by0, jnp.maximum(ly8 - 1, 0), x8i),
+                (b_max, 1, 1))[:, 0, 0]
+            am = jnp.where(above_ok, am_read, 1)
+            same = lm == am
+            mpm_same = jnp.where(
+                lm > 1,
+                jnp.stack([lm, ((lm + 29) % 32) + 2, ((lm - 1) % 32) + 2]),
+                jnp.stack([jnp.zeros_like(lm), jnp.ones_like(lm),
+                           jnp.full_like(lm, 26)]))
+            m2 = jnp.where(jnp.logical_and(lm != 0, am != 0), 0,
+                           jnp.where(lm + am < 2, 26, 1))
+            mpms = jnp.where(same, mpm_same, jnp.stack([lm, am, m2]))
+            ids = jnp.arange(35)[:, None]
+            is0 = ids == mpms[0][None]
+            ismpm = is0 | (ids == mpms[1][None]) | (ids == mpms[2][None])
+            base = jnp.where(is0, MODE_BITS[0],
+                             jnp.where(ismpm, MODE_BITS[1],
+                                       MODE_BITS[3])).T    # (b, 35)
+            if n_modes == 36:
+                # Every normal mode pays pnns_flag=0; PNNS pays only the
+                # flag (TEncSbac::codeIntraDirLumaAng switch bin order).
+                return jnp.concatenate(
+                    [base + SB["pnns0"],
+                     jnp.full((b_max, 1), SB["pnns1"], jnp.float32)], axis=1)
+            return base
+
+        def nn_predict_b(n, recon_now, ly, lx):
+            """Batched normative PNN predictions (b, n, n): two box slices
+            from the evolving skewed reconstruction, per-class strip masks,
+            one quantized forward over all slots (order-invariant, hence
+            bit-exact vs the sequential host decoder)."""
+            c = size_consts[n]
+            un = ctb // n
+            by_n = jnp.clip(by_ids * un + ly // n, 0, height // n - 1)
+            bx_n = jnp.clip(bx_ids * un + lx // n, 0, width // n - 1)
+            cls = jnp.asarray(c["nn_cmap"])[sel, by_n, bx_n]
+            ok = jnp.asarray(c["nn_ok_c"])[cls]
+            am = jnp.asarray(c["nn_am_c"])[cls]
+            lmk = jnp.asarray(c["nn_lm_c"])[cls]
+            mean = c["nn_mean"]
+            up = jnp.where(ly == 0, 1, 0)        # planes up for the above
+            pa = by0 + ROW0 - up
+            lya = jnp.where(ly == 0, ctb - n, ly - n)
+            xa = t_loc * ctb + lx - n - 2 * ctb * up + OFF
+            above_pix = jax.lax.dynamic_slice(
+                recon_now, (pa, lya, xa), (b_max, n, 3 * n))
+            left_pix = jax.lax.dynamic_slice(
+                recon_now, (by0 + ROW0, ly, t_loc * ctb + lx - n + OFF),
+                (b_max, 2 * n, n))
+            above_f = (above_pix.astype(jnp.float32) - mean) * am[:, None, :]
+            left_f = (left_pix.astype(jnp.float32) - mean) * lmk[:, :, None]
+            if c["nn_fc"]:
+                inp = jnp.concatenate([above_f.reshape(b_max, -1),
+                                       left_f.reshape(b_max, -1)], axis=1)
+            else:
+                inp = (above_f[..., None], left_f[..., None])
+            pred = pnn_q.predict_pixels_q(c["nn_q"], inp, n, c["nn_fc"],
+                                          mean)
+            # Context unavailable -> zeros (TComPrediction.cpp:645-663).
+            return jnp.where(ok[:, None, None], pred, 0)
+
+        def encode_unit_b(n, recon_now, mode8_now, ly, lx):
+            """n_modes-mode trial of the n x n units at in-CTB offset
+            (ly, lx) for every slot; returns (cost, mode, rec, q), each with
+            leading slot axis.  cost = SSE + lambda * (mode + calibrated TU
+            bits), excluding structure flags (added per tree option)."""
+            c = size_consts[n]
+            ref_top, ref_left = refs_for_b(n, recon_now, ly, lx)
+            f_top, f_left = jax.vmap(
+                lambda a, b: filter_refs(n, a, b))(ref_top, ref_left)
+            preds_u = jax.vmap(
+                lambda a, b: predict35(n, a, b))(ref_top, ref_left)
+            preds_f = jax.vmap(
+                lambda a, b: predict35(n, a, b))(f_top, f_left)
+            uf = jnp.asarray(c["use_filt"])[None, :, None, None]
+            preds = jnp.where(uf, preds_f, preds_u)
+            if n in nn_widths:
+                nn_pred = nn_predict_b(n, recon_now, ly, lx)
+                if policy == "substitution":
+                    preds = preds.at[:, 18].set(nn_pred)
+                else:
+                    preds = jnp.concatenate([preds, nn_pred[:, None]], 1)
+            elif n_modes == 36:
+                # Switch without a model at this width: PNNS decodes to the
+                # zero prediction (never competitive, but normative).
+                preds = jnp.concatenate(
+                    [preds, jnp.zeros((b_max, 1, n, n), jnp.int32)], 1)
+            orig = jax.lax.dynamic_slice(
+                frame_sk, (by0, ly, t_loc * ctb + lx + OFF), (b_max, n, n))
+            resi = orig[:, None] - preds
+            coeff = jax.vmap(lambda r: fwd_t(n, r))(resi)
+            q, tu_bits = jax.vmap(lambda co: quantize_rd(n, co))(coeff)
+            if c["iq_shift"] > 0:
+                deq = (q * iq_scale + (1 << (c["iq_shift"] - 1))) \
+                    >> c["iq_shift"]
+            else:
+                deq = (q * iq_scale) << (-c["iq_shift"])
+            deq = jnp.clip(deq, -32768, 32767)
+            rec = jnp.clip(preds + jax.vmap(lambda dq: inv_t(n, dq))(deq),
+                           0, 255)
+            sse = jnp.sum((rec - orig[:, None]) ** 2,
+                          axis=(2, 3)).astype(jnp.float32)
+            cost = sse + lam * (tu_bits
+                                + mode_bits_b(n, mode8_now, ly, lx))
+            best = jnp.argmin(cost, axis=1).astype(jnp.int32)
+            rec_b = jnp.take_along_axis(
+                rec, best[:, None, None, None], axis=1)[:, 0]
+            q_b = jnp.take_along_axis(
+                q, best[:, None, None, None], axis=1)[:, 0]
+            cost_b = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+            return cost_b, best, rec_b, q_b
+
+        def commit_box(buf, upd, p0, r0, c0, cond=None):
+            """One contiguous box commit for all slots.  Invalid slots'
+            boxes land in void/padding regions no valid read touches, so no
+            masking is needed; `cond` blends value-dependent commits."""
+            if cond is not None:
+                cur = jax.lax.dynamic_slice(buf, (p0, r0, c0), upd.shape)
+                expand = (slice(None),) + (None,) * (upd.ndim - 1)
+                upd = jnp.where(cond[expand], upd, cur)
+            return jax.lax.dynamic_update_slice(buf, upd, (p0, r0, c0))
+
+        def commit_rec(recon_sk, rec, ly, lx, cond=None):
+            return commit_box(recon_sk, rec, by0 + ROW0, ly,
+                              t_loc * ctb + lx + OFF, cond)
+
+        def commit_cell8(buf, vals, ly, lx, cond=None):
+            return commit_box(buf, vals[:, None, None], by0, ly // 8,
+                              t_loc * cu8 + lx // 8 + OFF8, cond)
+
+        def commit_mode_fill(mode8_sk, modes, ly, lx, k, cond):
+            fill = jnp.broadcast_to(modes[:, None, None], (b_max, k, k))
+            return commit_box(mode8_sk, fill, by0, ly // 8,
+                              t_loc * cu8 + lx // 8 + OFF8, cond)
 
         # The quadrant / z-cell / 4x4-sub-block chains are lax.scans (not
         # Python loops): the per-step HLO holds ONE instance of each
         # encode_unit size instead of 85, which keeps XLA compile time and
         # program size bounded (NOTES_ROUND1 §4 compile-budget issue).
-        # `encode_ctb32` is the complete 32-root quadtree pipeline for the
-        # slot vectors (cby, cbx) in 32-grid coordinates: the whole CTB body
-        # when ctb == 32, one z-quadrant of a 64 CTB when ctb == 64 (a
-        # 64x64 2Nx2N candidate then competes with the four quadrants).
+        # `encode_ctb32` is the complete 32-root quadtree pipeline at pixel
+        # offset (oy, ox) inside the schedule CTB: (0, 0) when ctb == 32,
+        # a z-quadrant corner of a 64 CTB when ctb == 64.
         #
         # The decided mode/level/structure grids are NOT program state:
         # their write positions depend only on the static schedule, so each
-        # sub-stage just EMITS its per-slot decisions as scan outputs and the
-        # host assembles the grids for free (round 3 carried 12 grid buffers
-        # through every nested scan and committed per-slot per-sub-stage -
-        # the other half of the measured dispatch floor).  Only buffers later
-        # sub-stages actually READ stay carried: the reconstruction, the
-        # 8-granularity mode map (MPM context), and the 8x8 cell costs.
-        def encode_ctb32(carry, cby, cbx):
-            (recon, mode8, c8) = carry
+        # sub-stage EMITS its per-slot decisions as scan outputs and the
+        # host assembles the grids for free.  Only buffers later sub-stages
+        # READ stay carried: the reconstruction, the 8-granularity mode map
+        # (MPM context), and the 8x8 cell costs.
+        def encode_ctb32(carry, oy, ox):
+            (recon_sk, mode8_sk, c8_sk) = carry
 
             def quad_body(qc, quad):
                 recon_, mode8_, c8_, qsum = qc
@@ -795,36 +855,11 @@ def _build_wavefront2(height: int, width: int, qp: int,
                     """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
                     TEncSearch.cpp:2295-2303)."""
                     recon_, mode8_, c8_ = zc
-                    zdx2 = qdx * 2 + (z & 1)
-                    zdy2 = qdy * 2 + (z >> 1)
+                    ly8 = oy + (qdy * 2 + (z >> 1)) * 8
+                    lx8 = ox + (qdx * 2 + (z & 1)) * 8
 
-                    def enc8(slot):
-                        b8y = cby[slot] * 4 + zdy2
-                        b8x = cbx[slot] * 4 + zdx2
-                        return (encode_unit(8, frame, recon_, mode8_, b8y,
-                                            b8x, sel) + (b8y, b8x))
-
-                    cost8, mode8b, rec8, q8b, b8y, b8x = jax.vmap(enc8)(slots)
-
-                    def s4_body(sc, s4):
-                        """One 4x4 NxN sub-block (z-order chain inside an
-                        8x8 cell); reads the cell-entry mode map (4x4 PUs
-                        cannot be their own MPM neighbours mid-cell)."""
-                        recon4, cost_nxn, last_m4 = sc
-                        sdx, sdy = s4 & 1, s4 >> 1
-
-                        def enc4(slot):
-                            b4y = (cby[slot] * 4 + zdy2) * 2 + sdy
-                            b4x = (cbx[slot] * 4 + zdx2) * 2 + sdx
-                            return (encode_unit(4, frame, recon4, mode8_,
-                                                b4y, b4x, sel) + (b4y, b4x))
-
-                        c4, m4b, rec4, q4b, b4y, b4x = jax.vmap(enc4)(slots)
-
-                        recon4 = scat_rec(recon4, rec4, b4y * 4, b4x * 4,
-                                          valid)
-                        return ((recon4, cost_nxn + c4, m4b),
-                                {"m4": m4b, "q4": q4b})
+                    cost8, mode8b, rec8, q8b = encode_unit_b(
+                        8, recon_, mode8_, ly8, lx8)
 
                     ys = {}
                     if enable_nxn:
@@ -833,6 +868,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
                         # z-order); if 2Nx2N wins, its rec overwrites the
                         # whole cell, so the temporary 4x4 commits never
                         # leak outside it.
+                        def s4_body(sc, s4):
+                            recon4, cost_nxn, last_m4 = sc
+                            ly4 = ly8 + (s4 >> 1) * 4
+                            lx4 = lx8 + (s4 & 1) * 4
+                            c4, m4b, rec4, q4b = encode_unit_b(
+                                4, recon4, mode8_, ly4, lx4)
+                            recon4 = commit_rec(recon4, rec4, ly4, lx4)
+                            return ((recon4, cost_nxn + c4, m4b),
+                                    {"m4": m4b, "q4": q4b})
+
                         (recon_, cost_nxn, last_m4), ys4 = jax.lax.scan(
                             s4_body,
                             (recon_, jnp.zeros_like(cost8),
@@ -851,14 +896,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
                         use2n = jnp.ones_like(cost8, bool)
                         cell_cost = cost8 + lam * SB["part_2nx2n"]
 
-                    ok2n = jnp.logical_and(valid, use2n)
-                    recon_ = scat_rec(recon_, rec8, b8y * 8, b8x * 8, ok2n)
+                    recon_ = commit_rec(recon_, rec8, ly8, lx8, use2n)
                     # MPM context at 8-granularity: the 2Nx2N mode, or the
                     # bottom-right 4x4's mode when NxN wins.
-                    mode8_ = scat_cells(mode8_, b8y, b8x,
-                                        jnp.where(use2n, mode8b, last_m4),
-                                        valid)
-                    c8_ = scat_cells(c8_, b8y, b8x, cell_cost, valid)
+                    mode8_ = commit_cell8(
+                        mode8_, jnp.where(use2n, mode8b, last_m4), ly8, lx8)
+                    c8_ = commit_cell8(c8_, cell_cost, ly8, lx8)
                     ys.update(m8=mode8b, q8=q8b,
                               s8=jnp.where(use2n, 0, 1).astype(jnp.int32))
                     return (recon_, mode8_, c8_), ys
@@ -866,73 +909,58 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 (recon_, mode8_, c8_), ys_z = jax.lax.scan(
                     z_body, (recon_, mode8_, c8_), jnp.arange(4))
 
-                def enc16(slot):
-                    b16y = cby[slot] * 2 + qdy
-                    b16x = cbx[slot] * 2 + qdx
-                    return (encode_unit(16, frame, recon_, mode8_, b16y,
-                                        b16x, sel) + (b16y, b16x))
+                ly16 = oy + qdy * 16
+                lx16 = ox + qdx * 16
+                cost16, mode16, rec16, qq16 = encode_unit_b(
+                    16, recon_, mode8_, ly16, lx16)
 
-                cost16, mode16, rec16, qq16, b16y, b16x = \
-                    jax.vmap(enc16)(slots)
-
-                def sum8(slot):
-                    b8y = cby[slot] * 4 + qdy * 2
-                    b8x = cbx[slot] * 4 + qdx * 2
-                    sub = jax.lax.dynamic_slice(c8_, (b8y, b8x), (2, 2))
-                    # Fixed-order adds (a 4-way float reduce is not
-                    # guaranteed order-stable across program shapes).
-                    return ((sub[0, 0] + sub[0, 1]) + sub[1, 0]) + sub[1, 1]
-
-                # Depth-1 tree options: 16 leaf pays split0; four 8x8 CUs
-                # pay split1 (their part_size flags are inside c8 already).
-                cost8s = jax.vmap(sum8)(slots) + lam * SB["split1"]
+                # Fixed-order adds over the 2x2 cell costs (a 4-way float
+                # reduce is not guaranteed order-stable across shapes).
+                csub = jax.lax.dynamic_slice(
+                    c8_, (by0, ly16 // 8, t_loc * cu8 + lx16 // 8 + OFF8),
+                    (b_max, 2, 2))
+                cost8s = (((csub[:, 0, 0] + csub[:, 0, 1]) + csub[:, 1, 0])
+                          + csub[:, 1, 1]) + lam * SB["split1"]
                 cost16f = cost16 + lam * SB["split0"]
                 use16 = cost16f < cost8s
                 qcost_q = jnp.where(use16, cost16f, cost8s)
 
-                ok16 = jnp.logical_and(valid, use16)
-                recon_ = scat_rec(recon_, rec16, b16y * 16, b16x * 16, ok16)
+                recon_ = commit_rec(recon_, rec16, ly16, lx16, use16)
                 # Decided modes at 8-granularity feed later MPMs.
-                mfill = jnp.broadcast_to(mode16[:, None, None],
-                                         (b_max, 2, 2))
-                mode8_ = scat_win(mode8_, b16y * 2, b16x * 2, mfill, ok16)
+                mode8_ = commit_mode_fill(mode8_, mode16, ly16, lx16, 2,
+                                          use16)
                 ys = dict(ys_z)
                 ys.update(m16=mode16, q16=qq16,
                           s16=jnp.where(use16, 0, 1).astype(jnp.int32))
                 return (recon_, mode8_, c8_, qsum + qcost_q), ys
 
-            (recon, mode8, c8, qsum), ys_q = jax.lax.scan(
+            (recon_sk, mode8_sk, c8_sk, qsum), ys_q = jax.lax.scan(
                 quad_body,
-                (recon, mode8, c8,
+                (recon_sk, mode8_sk, c8_sk,
                  jnp.zeros((b_max,), jnp.float32)
-                 + frame[0, 0].astype(jnp.float32) * 0),
+                 + frame_sk[0, 0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
 
             # --- 32x32 candidate ---
-            def enc32(slot):
-                return encode_unit(32, frame, recon, mode8, cby[slot],
-                                   cbx[slot], sel)
-
-            cost32, mode32, rec32, qq32 = jax.vmap(enc32)(slots)
+            cost32, mode32, rec32, qq32 = encode_unit_b(
+                32, recon_sk, mode8_sk, oy, ox)
             cost_quads = qsum + lam * SB["split1"]
             cost32f = cost32 + lam * SB["split0"]
             use32 = cost32f < cost_quads
             c32_best = jnp.where(use32, cost32f, cost_quads)
 
-            ok32 = jnp.logical_and(valid, use32)
-            recon = scat_rec(recon, rec32, cby * 32, cbx * 32, ok32)
-            mfill = jnp.broadcast_to(mode32[:, None, None], (b_max, 4, 4))
-            mode8 = scat_win(mode8, cby * 4, cbx * 4, mfill, ok32)
+            recon_sk = commit_rec(recon_sk, rec32, oy, ox, use32)
+            mode8_sk = commit_mode_fill(mode8_sk, mode32, oy, ox, 4, use32)
 
             ys = dict(ys_q)
             ys.update(m32=mode32, q32=qq32,
                       s32=jnp.where(use32, 0, 1).astype(jnp.int32))
-            return (recon, mode8, c8), c32_best, ys
+            return (recon_sk, mode8_sk, c8_sk), c32_best, ys
 
-        carry = (recon, mode8, c8)
+        carry = (recon_sk, mode8_sk, c8_sk)
         if ctb == 32:
-            carry, _, ys_step = encode_ctb32(carry, scby, scbx)
-            (recon, mode8, c8) = carry
+            carry, _, ys_step = encode_ctb32(carry, 0, 0)
+            (recon_sk, mode8_sk, c8_sk) = carry
         else:
             # --- CTB 64: four 32-quadrants in z-order, then a 64x64
             #     2Nx2N candidate (one signalled mode, four forced TU32s
@@ -942,15 +970,15 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 carry, csum = qc
                 qdx, qdy = quad & 1, quad >> 1
                 carry, c32_best, ys32 = encode_ctb32(
-                    carry, scby * 2 + qdy, scbx * 2 + qdx)
+                    carry, qdy * 32, qdx * 32)
                 return (carry, csum + c32_best), ys32
 
             (carry, csum64), ys_sub = jax.lax.scan(
                 quad64_body,
                 (carry, jnp.zeros((b_max,), jnp.float32)
-                 + frame[0, 0].astype(jnp.float32) * 0),
+                 + frame_sk[0, 0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
-            (recon, mode8, c8) = carry
+            (recon_sk, mode8_sk, c8_sk) = carry
 
             c32c = size_consts[32]
             uf35 = jnp.asarray(c32c["use_filt"])
@@ -982,129 +1010,140 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 return jnp.where(m == 0, planar,
                                  jnp.where(m == 1, dc_blk, ang))
 
-            def enc64(slot):
-                y0 = scby[slot] * 64
-                x0 = scbx[slot] * 64
-                patch = jnp.zeros((n_modes, 64, 64), jnp.int32)
-                qall = jnp.zeros((n_modes, 64, 64), jnp.int32)
-                cost = jnp.zeros((n_modes,), jnp.float32)
-                for tz in range(4):       # static 4-iter python loop
-                    tdy, tdx = (tz >> 1) * 32, (tz & 1) * 32
-                    b32y = scby[slot] * 2 + (tz >> 1)
-                    b32x = scbx[slot] * 2 + (tz & 1)
-                    ty, tx = b32y * 32, b32x * 32
-                    tt = jnp.asarray(c32c["tab_top"])[0, b32y, b32x]
-                    tl = jnp.asarray(c32c["tab_left"])[0, b32y, b32x]
+            patch = jnp.zeros((b_max, n_modes, 64, 64), jnp.int32)
+            qall = jnp.zeros((b_max, n_modes, 64, 64), jnp.int32)
+            cost64 = jnp.zeros((b_max, n_modes), jnp.float32)
+            for tz in range(4):       # static 4-iter python loop
+                tdy, tdx = (tz >> 1) * 32, (tz & 1) * 32
+                by_32 = jnp.clip(by_ids * 2 + (tz >> 1), 0,
+                                 height // 32 - 1)
+                bx_32 = jnp.clip(bx_ids * 2 + (tz & 1), 0, width // 32 - 1)
+                cls = jnp.asarray(c32c["cmap"])[0, by_32, bx_32]
+                trip = jnp.asarray(c32c["ctab"])[cls]
+                dpl, lys, rxs = trip[:, 0], trip[:, 1], trip[:, 2]
+                okd = dpl > -5
+                plane = jnp.clip(by_ids[:, None] + ROW0 + dpl, 0,
+                                 n_planes - 1)
+                xi = jnp.clip(t_loc * ctb + rxs, 0, W_sk - 1)
+                out_val = jnp.take(
+                    recon_sk.reshape(-1), (plane * PH + lys) * W_sk + xi,
+                    mode="clip")
+                out_val = jnp.where(okd, out_val, 128)       # (b, S)
+                # Composite source: per-mode patch inside the CU, committed
+                # reconstruction outside (TU z-order == 32-block order, so
+                # the same class tables apply).
+                iy = dpl * 64 + lys                          # CU-relative
+                ix = rxs - OFF - 128 * dpl
+                inside = okd & (iy >= 0) & (iy < 64) & (ix >= 0) & (ix < 64)
+                in_val = patch[slots[:, None], :, jnp.clip(iy, 0, 63),
+                               jnp.clip(ix, 0, 63)]          # (b, S, modes)
+                refs = jnp.where(inside[:, :, None], in_val,
+                                 out_val[:, :, None])
+                refs = jnp.moveaxis(refs, 2, 1)              # (b, modes, S)
+                rt, rl = refs[..., :65], refs[..., 65:]
+                ft, fl = jax.vmap(jax.vmap(
+                    lambda a, b: filter_refs(32, a, b)))(rt, rl)
+                rts = jnp.where(ufm[None, :, None], ft, rt)
+                rls = jnp.where(ufm[None, :, None], fl, rl)
+                preds = jax.vmap(lambda a, b: jax.vmap(predict_mode32)(
+                    jnp.arange(n_modes), a, b))(rts, rls)
+                orig = jax.lax.dynamic_slice(
+                    frame_sk, (by0, tdy, t_loc * ctb + tdx + OFF),
+                    (b_max, 32, 32))
+                resi = orig[:, None] - preds
+                coeff = jax.vmap(lambda r: fwd_t(32, r))(resi)
+                qq, tu_bits = jax.vmap(
+                    lambda co: quantize_rd(32, co))(coeff)
+                if c32c["iq_shift"] > 0:
+                    deq = ((qq * iq_scale + (1 << (c32c["iq_shift"] - 1)))
+                           >> c32c["iq_shift"])
+                else:
+                    deq = (qq * iq_scale) << (-c32c["iq_shift"])
+                deq = jnp.clip(deq, -32768, 32767)
+                rec = jnp.clip(
+                    preds + jax.vmap(lambda dq: inv_t(32, dq))(deq), 0, 255)
+                sse = jnp.sum((rec - orig[:, None]) ** 2,
+                              axis=(2, 3)).astype(jnp.float32)
+                cost64 = cost64 + sse + lam * tu_bits
+                patch = jax.lax.dynamic_update_slice(
+                    patch, rec, (0, 0, tdy, tdx))
+                qall = jax.lax.dynamic_update_slice(
+                    qall, qq, (0, 0, tdy, tdx))
+            cost64 = cost64 + lam * mode_bits_b(64, mode8_sk, 0, 0)
+            # The NN candidates are excluded at the 64 level (the decoder
+            # would run the PNN per TU32 against the per-mode evolving
+            # context; not picking them here is a legal encoder-side
+            # restriction).
+            big = jnp.float32(3e38)
+            ids = jnp.arange(n_modes)[None]
+            if policy == "substitution" and 32 in nn_widths:
+                cost64 = jnp.where(ids == 18, big, cost64)
+            if n_modes == 36:
+                cost64 = jnp.where(ids == PNNS_MODE, big, cost64)
+            best = jnp.argmin(cost64, axis=1).astype(jnp.int32)
+            mode64 = best
+            rec64 = jnp.take_along_axis(
+                patch, best[:, None, None, None], axis=1)[:, 0]
+            qq64 = jnp.take_along_axis(
+                qall, best[:, None, None, None], axis=1)[:, 0]
+            c64_best = jnp.take_along_axis(cost64, best[:, None],
+                                           axis=1)[:, 0]
+            use64 = c64_best + lam * SB["split0"] \
+                < csum64 + lam * SB["split1"]
 
-                    def gather_pm(tab):
-                        # Composite source: per-mode patch inside the CU,
-                        # committed reconstruction outside (the TU z-order
-                        # coding order equals the plain 32-block order, so
-                        # the same gather tables apply).
-                        dy, dx = tab[0], tab[1]
-                        ok = dy > -(10 ** 4) // 2
-                        sy = jnp.clip(ty + top + dy, 0, top + height - 1)
-                        sx = jnp.clip(tx + dx, 0, width - 1)
-                        out_val = jnp.where(ok, recon[sy, sx], 128)
-                        iy = (ty + dy) - y0
-                        ix = (tx + dx) - x0
-                        inside = (ok & (iy >= 0) & (iy < 64)
-                                  & (ix >= 0) & (ix < 64))
-                        in_val = patch[:, jnp.clip(iy, 0, 63),
-                                       jnp.clip(ix, 0, 63)]
-                        return jnp.where(inside[None], in_val,
-                                         out_val[None])
-
-                    rt = gather_pm(tt)            # (n_modes, 65)
-                    rl = gather_pm(tl)
-                    ft, fl = jax.vmap(
-                        lambda a, b: filter_refs(32, a, b))(rt, rl)
-                    rts = jnp.where(ufm[:, None], ft, rt)
-                    rls = jnp.where(ufm[:, None], fl, rl)
-                    preds = jax.vmap(predict_mode32)(
-                        jnp.arange(n_modes), rts, rls)
-                    orig = jax.lax.dynamic_slice(
-                        frame, (ty, tx), (32, 32)).astype(jnp.int32)
-                    resi = orig[None] - preds
-                    coeff = fwd_t(32, resi)
-                    qq, tu_bits = quantize_rd(32, coeff)
-                    if c32c["iq_shift"] > 0:
-                        deq = ((qq * iq_scale
-                                + (1 << (c32c["iq_shift"] - 1)))
-                               >> c32c["iq_shift"])
-                    else:
-                        deq = (qq * iq_scale) << (-c32c["iq_shift"])
-                    deq = jnp.clip(deq, -32768, 32767)
-                    rec = jnp.clip(preds + inv_t(32, deq), 0, 255)
-                    sse = jnp.sum((rec - orig[None]) ** 2,
-                                  axis=(1, 2)).astype(jnp.float32)
-                    cost = cost + sse + lam * tu_bits
-                    patch = jax.lax.dynamic_update_slice(
-                        patch, rec, (0, tdy, tdx))
-                    qall = jax.lax.dynamic_update_slice(
-                        qall, qq, (0, tdy, tdx))
-                cost = cost + lam * mode_bits_for(mode8, 64, scby[slot],
-                                                  scbx[slot])
-                # The NN candidates are excluded at the 64 level (the
-                # decoder would run the PNN per TU32 against the per-mode
-                # evolving context; not picking them here is a legal
-                # encoder-side restriction).
-                big = jnp.float32(3e38)
-                ids = jnp.arange(n_modes)
-                if policy == "substitution" and 32 in nn_widths:
-                    cost = jnp.where(ids == 18, big, cost)
-                if n_modes == 36:
-                    cost = jnp.where(ids == PNNS_MODE, big, cost)
-                best = jnp.argmin(cost).astype(jnp.int32)
-                return cost[best], best, patch[best], qall[best]
-
-            cost64, mode64, rec64, qq64 = jax.vmap(enc64)(slots)
-            use64 = cost64 + lam * SB["split0"] < csum64 + lam * SB["split1"]
-
-            ok64 = jnp.logical_and(valid, use64)
-            recon = scat_rec(recon, rec64, scby * 64, scbx * 64, ok64)
-            mfill = jnp.broadcast_to(mode64[:, None, None], (b_max, 8, 8))
-            mode8 = scat_win(mode8, scby * 8, scbx * 8, mfill, ok64)
+            recon_sk = commit_box(recon_sk, jnp.where(
+                use64[:, None, None], rec64,
+                jax.lax.dynamic_slice(
+                    recon_sk, (by0 + ROW0, 0, t_loc * ctb + OFF),
+                    (b_max, 64, 64))), by0 + ROW0, 0, t_loc * ctb + OFF)
+            mode8_sk = commit_mode_fill(mode8_sk, mode64, 0, 0, 8, use64)
             ys_step = dict(sub=ys_sub, m64=mode64, q64=qq64,
                            s64=jnp.where(use64, 0, 1).astype(jnp.int32))
 
         if halo_axis is not None:
-            # Causal halo over ICI: each stripe's bottom CTB-row of
-            # reconstructed pixels flows to the stripe below after every
-            # step.  A CTB of the last stripe row is final at the end of
-            # the step that visited it, two global steps before the stripe
-            # below reads it - the one-step ppermute latency is in time.
+            # Causal halo over ICI: each stripe's bottom reconstruction
+            # plane flows to the stripe below after every step, re-aligned
+            # into the receiver's skew frame (receiver reads the halo at
+            # x' = x - 2*ctb + OFF, sender stored it at
+            # x' = x + 2*ctb*(sby-1) + OFF -> static roll by 2*ctb*sby).
             bottom = jax.lax.dynamic_slice(
-                recon, (top + height - CTB, 0), (CTB, width + PADW))
+                recon_sk, (ROW0 + sby - 1, 0, 0), (1, ctb, W_sk))[0]
             recv = jax.lax.ppermute(
                 bottom, halo_axis, [(i, i + 1) for i in range(n_tiles - 1)])
-            keep = jax.lax.dynamic_slice(recon, (0, 0), (CTB, width + PADW))
+            recv = jnp.roll(recv, -2 * ctb * sby, axis=1)
+            keep = recon_sk[0, :ctb]
             new_halo = jnp.where(d == 0, keep, recv)
-            recon = jax.lax.dynamic_update_slice(recon, new_halo, (0, 0))
+            recon_sk = jax.lax.dynamic_update_slice(
+                recon_sk, new_halo[None], (0, 0, 0))
 
-        return (frame, recon, mode8, c8), ys_step
+        return (frame_sk, recon_sk, mode8_sk, c8_sk), ys_step
 
     def run(frame_u8):
         """Returns (recon (height, width) int32, ys) where ys is the pytree
         of per-step stacked decisions (leading axis n_steps), assembled into
-        the round-3 grid format by `_assemble_arrays` on the host."""
+        the grid format by `_assemble_arrays` on the host."""
         frame = frame_u8.astype(jnp.int32)
         zero = frame[0, 0] * 0
-        h8, w8 = height // 8, width // 8
-        # Right padding (PADW) keeps the NN context slices (above portion
-        # reaches x + 2n - 1) in-bounds without start-clamp shifts; the pad
-        # is never written and the strip masks zero anything beyond the
-        # picture.  The bottom ctb rows absorb nothing anymore (masked
-        # commits are dropped by the scatters) but keep the halo geometry
-        # uniform.
-        recon = jnp.zeros((top + height + ctb, width + PADW),
-                          jnp.int32) + zero
-        mode8 = jnp.full((h8 + ctb // 8, w8), 1, jnp.int32) + zero
-        c8 = jnp.zeros((h8 + 1, w8), jnp.float32) + zero.astype(jnp.float32)
-        state = (frame, recon, mode8, c8)
+        rows = frame.reshape(sby, ctb, width)
+        planes = [jnp.pad(rows[by], ((0, 0), (OFF + 2 * ctb * by,
+                                              W_sk - width - OFF
+                                              - 2 * ctb * by)))
+                  for by in range(sby)]
+        frame_sk = jnp.concatenate(
+            [jnp.stack(planes),
+             jnp.zeros((b_max - 1, ctb, W_sk), jnp.int32)], 0) + zero
+        recon_sk = jnp.zeros((n_planes, PH, W_sk), jnp.int32) + zero
+        mode8_sk = jnp.full((sby + b_max - 1, cu8, W8), 1, jnp.int32) + zero
+        c8_sk = jnp.zeros((sby + b_max - 1, cu8, W8), jnp.float32) \
+            + zero.astype(jnp.float32)
+        state = (frame_sk, recon_sk, mode8_sk, c8_sk)
         state, ys = jax.lax.scan(step, state, jnp.arange(n_steps))
-        (_f, recon, mode8, c8) = state
-        return recon[top:top + height, :width], ys
+        recon_sk = state[1]
+        out_rows = [jax.lax.slice(
+            recon_sk[ROW0 + by], (0, OFF + 2 * ctb * by),
+            (ctb, OFF + 2 * ctb * by + width)) for by in range(sby)]
+        recon = jnp.concatenate(out_rows, 0)
+        return recon, ys
 
     return run if halo_axis is not None else jax.jit(run)
 
