@@ -76,32 +76,35 @@ def _measure(out_path):
 
     # Headline first (sustained v2 batch-4), so a tunnel stall or watchdog
     # cut still leaves the metric that matters in the incremental file.
+    import jax
+
     B = 4
-    rb = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, "regular", None)
+    rb = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, "regular", None,
+                                             n_frames=B)
     fb = jnp.asarray(np.stack([frame] * B))
-    np.asarray(rb(fb)[1])
+    jax.block_until_ready(rb(fb))
     t0 = time.time()
     for _ in range(2):
-        np.asarray(rb(fb)[1])
+        jax.block_until_ready(rb(fb))
     results["v2_b4_fps"] = 2 * B / (time.time() - t0)
     save()
 
     r2 = wavefront2._jitted_wavefront2(h, w, qp)
     f2 = jnp.asarray(frame)
-    np.asarray(r2(f2)[1])
+    jax.block_until_ready(r2(f2))
     t0 = time.time()
     for _ in range(2):
-        np.asarray(r2(f2)[1])
+        jax.block_until_ready(r2(f2))
     results["v2_b1_fps"] = 2 / (time.time() - t0)
     save()
 
     # --- v1 (throughput corner), for continuity ---
     r1 = wavefront._jitted_wavefront(h - h % 16, w, 16, qp)
     f1 = jnp.asarray(frame[:h - h % 16])
-    np.asarray(r1(f1)[1])
+    jax.block_until_ready(r1(f1))
     t0 = time.time()
     for _ in range(3):
-        np.asarray(r1(f1)[1])
+        jax.block_until_ready(r1(f1))
     results["v1_fps"] = 3 / (time.time() - t0)
     save()
     return results

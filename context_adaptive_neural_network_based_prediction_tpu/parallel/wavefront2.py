@@ -188,14 +188,14 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
                        lam_scale: float = 1.0, policy: str = "regular",
                        bundle=None, halo_axis: str | None = None,
                        n_tiles: int = 1, ctb: int = CTB,
-                       enable_nxn: bool = True):
+                       enable_nxn: bool = True, n_frames: int = 1):
     key = (height, width, qp, lam_scale, policy, id(bundle), halo_axis,
-           n_tiles, ctb, enable_nxn)
+           n_tiles, ctb, enable_nxn, n_frames)
     hit = _W2_CACHE.get(key)
     if hit is not None:
         return hit[0]
     run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                            halo_axis, n_tiles, ctb, enable_nxn)
+                            halo_axis, n_tiles, ctb, enable_nxn, n_frames)
     _cache_put(_W2_CACHE, key, (run, bundle))
     return run
 
@@ -203,7 +203,8 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
 def _build_wavefront2(height: int, width: int, qp: int,
                       lam_scale: float, policy: str, bundle,
                       halo_axis: str | None = None, n_tiles: int = 1,
-                      ctb: int = CTB, enable_nxn: bool = True):
+                      ctb: int = CTB, enable_nxn: bool = True,
+                      n_frames: int = 1):
     """Builds the jitted quadtree wavefront encoder (CTB `ctb` in {32, 64}).
 
     **Skewed (systolic) storage** — the round-4 restructure that removes the
@@ -262,7 +263,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
     sbx, sby = width // ctb, height // ctb
     n_steps = (sbx - 1) + 2 * (sby * n_tiles - 1) + 1
     b_max = min(sby, (sbx + 1) // 2 + 1)
-    slots_np = np.arange(b_max)
+    if n_frames > 1 and halo_axis is not None:
+        raise NotImplementedError("frame batching is a single-device mode")
+    # Multi-frame batching lives INSIDE the program: plane index
+    # (ROW0 + by) * n_frames + f interleaves B independent frames, so every
+    # sub-stage's boxes/gathers just grow B-fold along the already-batched
+    # slot axis.  (A vmapped program de-hoists the rate/transform constant
+    # tables into per-iteration VMEM copies - measured 5x slower at b=2 -
+    # and crashes the axon worker at b=4; this keeps ONE program shape.)
+    NF = n_frames
+    b_eff = b_max * NF
     # Skew geometry.  OFF: left margin so reads reaching two planes up
     # (x' -= 2*ctb) and 2n left stay in bounds at t=0.  PH: plane height
     # with 32 pad rows so NN left-portion slices never clamp-shift.
@@ -274,8 +284,17 @@ def _build_wavefront2(height: int, width: int, qp: int,
     # x' up to n_steps*ctb + OFF + n - 1; without the margin dynamic_slice
     # clamp-shifts the window at the frame's right edge.
     W_sk = n_steps * ctb + OFF + 32
+    # Per-step working window: all of a step's reads (raw L strips, NN
+    # portions reaching 2*ctb left through the skew, above-right raw up to
+    # lx+2n-1) and commits (column [OFF, OFF+ctb)) land inside x' in
+    # [t*ctb, t*ctb + WIN).  The step slices it once, every sub-stage works
+    # on the small hot buffer, and one write-back DUS per step returns the
+    # committed column - recon itself sees 2 ops/step, so XLA keeps it
+    # in place (per-sub-stage slices of the carried 67 MB buffer forced a
+    # whole-buffer copy per sub-stage - profiled 5.3 s/frame at 1080p).
+    WIN = OFF + ctb + 32
     PH = ctb + 32
-    n_planes = ROW0 + sby + b_max - 1
+    n_planes = ROW0 + sby + b_max - 1       # per-frame by-planes
     cu8 = ctb // 8
     OFF8 = OFF // 8
     W8 = n_steps * cu8 + OFF8 + cu8
@@ -304,6 +323,30 @@ def _build_wavefront2(height: int, width: int, qp: int,
         d[sent], lys[sent], rxs[sent] = -9, 0, 0
         return np.stack([d, lys, rxs], axis=2)
 
+    def sel_tables(tt, tl, n):
+        """Per-position SELECTION tables over the raw L strips.
+
+        Every fill source is a pattern sample on the 1-px L (row y-1 or
+        column x-1, `TComPattern::fillReferenceSamples`), so the bit-exact
+        reference arrays are a tiny selection over two contiguous strips:
+        raw = [row(y-1, x-1 .. x+2n-1) | col(y .. y+2n-1, x-1) | 128].
+        Returns (nbyn, nbxn, S) int32 indices into that (4n+2)-long vector.
+        A one-hot matmul then replaces the big-index recon gather that the
+        TPU serializes on its scalar core (profiled 12 ms/step at 1080p).
+        """
+        nbyn, nbxn = tt.shape[0], tt.shape[1]
+        dy = np.concatenate([tt[:, :, 0, :], tl[:, :, 0, :]], -1)
+        dx = np.concatenate([tt[:, :, 1, :], tl[:, :, 1, :]], -1)
+        sent = dy <= -(10 ** 4) // 2
+        on_row = dy == -1
+        on_col = dx == -1
+        assert bool(np.all(sent | on_row | on_col)), \
+            "fill source off the 1-px L pattern"
+        sel = np.where(on_row, dx + 1, 2 * n + 1 + dy)
+        sel = np.where(sent, 4 * n + 1, sel).astype(np.int32)
+        assert sel.min() >= 0 and sel.max() <= 4 * n + 1
+        return sel
+
     def dedupe(stacked):
         """(V, nby, nbx, ...) -> (class table (C, ...), cmap (V, nby, nbx))."""
         v, a, b = stacked.shape[:3]
@@ -327,6 +370,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # CTB-row of a one-CTB-taller frame's tables.
         tt, tl = _fill_tables(height, width, n, ctb)
         trips = [skew_triplets(tt, tl, n)]
+        sels = [sel_tables(tt, tl, n)]
         if halo_axis:
             k = CTB // n
             ti_t, ti_l = _fill_tables(height + CTB, width, n, ctb)
@@ -334,7 +378,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
             # relative); sources above the stripe map to plane -1 (halo)
             # via the floor division in skew_triplets.
             trips.append(skew_triplets(ti_t[k:], ti_l[k:], n))
+            sels.append(sel_tables(ti_t[k:], ti_l[k:], n))
         ctab, cmap = dedupe(np.stack(trips))
+        stab, smap = dedupe(np.stack(sels))
+        # One-hot selection matrices, (C, S, 4n+2) int8; the last raw slot
+        # is the DC-128 constant.
+        onehot = (stab[:, :, None]
+                  == np.arange(4 * n + 2)[None, None, :]).astype(np.int8)
         log2n = n.bit_length() - 1
         tshift = 15 - 8 - log2n
         sig0, sig1 = rate_model.sig_bits_tables(qp, n)
@@ -349,7 +399,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
             inv_gather[st, sgather[st]] = np.arange(n * n, dtype=np.int32)
         size_consts[n] = dict(
             g0=g0, g1=g1, frac=frac, use_filt=use_filt,
-            ctab=ctab, cmap=cmap,
+            ctab=ctab, cmap=cmap, onehot=onehot, smap=smap,
             t_fwd=np.asarray(transform.DST4_FWD if n == 4
                              else transform.dct_matrix(n, True), np.int32),
             t_inv=np.asarray(transform.DST4 if n == 4
@@ -511,6 +561,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
     def quantize_rd(n, coeff):
         """Vectorized RDOQ-lite + structure-aware TU rate.
 
+        TIMING STUB (CANP_STUB_RDOQ).
+        import os
+        if os.environ.get("CANP_STUB_RDOQ"):
+            q = jnp.clip(coeff >> 6, -4, 4)
+            return q, jnp.sum(jnp.abs(q), axis=(1, 2)).astype(jnp.float32)
+
         Per-coefficient level choice among {round-half-up, -1, 0} minimizing
         coeff-domain distortion + lambda*bits (HM xGetCodedLevel's candidate
         set), then an all-zero CBF trade-off with last-position /
@@ -656,27 +712,47 @@ def _build_wavefront2(height: int, width: int, qp: int,
         else:
             t_loc = t
             sel = 0
-        slots = jnp.arange(b_max)
+        ws = jnp.maximum(t_loc, 0) * ctb
+        work = jax.lax.dynamic_slice(
+            recon_sk, (0, 0, ws), (n_planes * NF, PH, WIN))
+        slots = jnp.arange(b_eff)
         by0 = jnp.maximum(0, -((sbx - 1 - t_loc) // 2))
-        by_ids = by0 + slots
+        # Composite (slot, frame) axis, ordered so plane indices
+        # (by * NF + f) are contiguous across it.
+        by_ids = by0 + jnp.repeat(jnp.arange(b_max), NF)
+        f_ids = jnp.tile(jnp.arange(NF), b_max)
         bx_ids = t_loc - 2 * by_ids
 
         def refs_for_b(n, recon_now, ly, lx):
-            """Batched bit-exact HM reference arrays for all slots: one
-            class lookup + one (b, 2(2n+1)) gather from the skewed recon."""
+            """Batched bit-exact HM reference arrays for all slots.
+
+            Two contiguous strip fetches (the 1-px L: row y-1 incl. corner
+            and above-right, column x-1) + a per-class one-hot matmul that
+            applies HM's availability substitution — dense vector math in
+            place of a big-index gather (which the TPU serializes on the
+            scalar core; profiled ~12 ms/step at 1080p for the 32x32 trial
+            alone)."""
             c = size_consts[n]
             un = ctb // n
             by_n = jnp.clip(by_ids * un + ly // n, 0, height // n - 1)
             bx_n = jnp.clip(bx_ids * un + lx // n, 0, width // n - 1)
-            cls = jnp.asarray(c["cmap"])[sel, by_n, bx_n]
-            trip = jnp.asarray(c["ctab"])[cls]               # (b, 3, S)
-            dpl, lys, rxs = trip[:, 0], trip[:, 1], trip[:, 2]
-            ok = dpl > -5
-            plane = jnp.clip(by_ids[:, None] + ROW0 + dpl, 0, n_planes - 1)
-            xi = jnp.clip(t_loc * ctb + rxs, 0, W_sk - 1)
-            vals = jnp.take(recon_now.reshape(-1),
-                            (plane * PH + lys) * W_sk + xi, mode="clip")
-            refs = jnp.where(ok, vals, 128)
+            cls = jnp.asarray(c["smap"])[sel, by_n, bx_n]
+            up = jnp.where(ly == 0, 1, 0)
+            row_above = jax.lax.dynamic_slice(
+                recon_now,
+                ((by0 + ROW0 - up) * NF,
+                 jnp.where(ly == 0, ctb - 1, ly - 1),
+                 lx - 1 - 2 * ctb * up + OFF),
+                (b_eff, 1, 2 * n + 1))[:, 0, :]
+            col_left = jax.lax.dynamic_slice(
+                recon_now,
+                ((by0 + ROW0) * NF, ly, lx - 1 + OFF),
+                (b_eff, 2 * n, 1))[:, :, 0]
+            raw = jnp.concatenate(
+                [row_above, col_left,
+                 jnp.full((b_eff, 1), 128, jnp.int32)], axis=1)
+            m = jnp.asarray(c["onehot"])[cls].astype(jnp.int32)
+            refs = jnp.einsum("bso,bo->bs", m, raw)
             s = 2 * n + 1
             return refs[:, :s], refs[:, s:]
 
@@ -686,7 +762,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
             ly8 = ly // 8
             x8i = t_loc * cu8 + lx // 8 + OFF8
             lm_read = jax.lax.dynamic_slice(
-                mode8_now, (by0, ly8, x8i - 1), (b_max, 1, 1))[:, 0, 0]
+                mode8_now, (by0 * NF, ly8, x8i - 1), (b_eff, 1, 1))[:, 0, 0]
             left_gate = (bx_ids * ctb + lx) >= 8
             lm = jnp.where(left_gate, lm_read, 1)
             # The mode map is kept at 8-granularity; 4x4 sub-blocks whose
@@ -695,8 +771,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             # (ly >= 8 also excludes the stripe-top row, y % ctb == 0).
             above_ok = jnp.logical_and(ly >= 8, (ly % 8) == 0)
             am_read = jax.lax.dynamic_slice(
-                mode8_now, (by0, jnp.maximum(ly8 - 1, 0), x8i),
-                (b_max, 1, 1))[:, 0, 0]
+                mode8_now, (by0 * NF, jnp.maximum(ly8 - 1, 0), x8i),
+                (b_eff, 1, 1))[:, 0, 0]
             am = jnp.where(above_ok, am_read, 1)
             same = lm == am
             mpm_same = jnp.where(
@@ -718,7 +794,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 # flag (TEncSbac::codeIntraDirLumaAng switch bin order).
                 return jnp.concatenate(
                     [base + SB["pnns0"],
-                     jnp.full((b_max, 1), SB["pnns1"], jnp.float32)], axis=1)
+                     jnp.full((b_eff, 1), SB["pnns1"], jnp.float32)], axis=1)
             return base
 
         def nn_predict_b(n, recon_now, ly, lx):
@@ -736,19 +812,19 @@ def _build_wavefront2(height: int, width: int, qp: int,
             lmk = jnp.asarray(c["nn_lm_c"])[cls]
             mean = c["nn_mean"]
             up = jnp.where(ly == 0, 1, 0)        # planes up for the above
-            pa = by0 + ROW0 - up
+            pa = (by0 + ROW0 - up) * NF
             lya = jnp.where(ly == 0, ctb - n, ly - n)
-            xa = t_loc * ctb + lx - n - 2 * ctb * up + OFF
+            xa = lx - n - 2 * ctb * up + OFF
             above_pix = jax.lax.dynamic_slice(
-                recon_now, (pa, lya, xa), (b_max, n, 3 * n))
+                recon_now, (pa, lya, xa), (b_eff, n, 3 * n))
             left_pix = jax.lax.dynamic_slice(
-                recon_now, (by0 + ROW0, ly, t_loc * ctb + lx - n + OFF),
-                (b_max, 2 * n, n))
+                recon_now, ((by0 + ROW0) * NF, ly, lx - n + OFF),
+                (b_eff, 2 * n, n))
             above_f = (above_pix.astype(jnp.float32) - mean) * am[:, None, :]
             left_f = (left_pix.astype(jnp.float32) - mean) * lmk[:, :, None]
             if c["nn_fc"]:
-                inp = jnp.concatenate([above_f.reshape(b_max, -1),
-                                       left_f.reshape(b_max, -1)], axis=1)
+                inp = jnp.concatenate([above_f.reshape(b_eff, -1),
+                                       left_f.reshape(b_eff, -1)], axis=1)
             else:
                 inp = (above_f[..., None], left_f[..., None])
             pred = pnn_q.predict_pixels_q(c["nn_q"], inp, n, c["nn_fc"],
@@ -781,9 +857,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 # Switch without a model at this width: PNNS decodes to the
                 # zero prediction (never competitive, but normative).
                 preds = jnp.concatenate(
-                    [preds, jnp.zeros((b_max, 1, n, n), jnp.int32)], 1)
+                    [preds, jnp.zeros((b_eff, 1, n, n), jnp.int32)], 1)
             orig = jax.lax.dynamic_slice(
-                frame_sk, (by0, ly, t_loc * ctb + lx + OFF), (b_max, n, n))
+                frame_sk, (by0 * NF, ly, t_loc * ctb + lx + OFF),
+                (b_eff, n, n))
             resi = orig[:, None] - preds
             coeff = jax.vmap(lambda r: fwd_t(n, r))(resi)
             q, tu_bits = jax.vmap(lambda co: quantize_rd(n, co))(coeff)
@@ -817,17 +894,17 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 upd = jnp.where(cond[expand], upd, cur)
             return jax.lax.dynamic_update_slice(buf, upd, (p0, r0, c0))
 
-        def commit_rec(recon_sk, rec, ly, lx, cond=None):
-            return commit_box(recon_sk, rec, by0 + ROW0, ly,
-                              t_loc * ctb + lx + OFF, cond)
+        def commit_rec(work_, rec, ly, lx, cond=None):
+            return commit_box(work_, rec, (by0 + ROW0) * NF, ly,
+                              lx + OFF, cond)
 
         def commit_cell8(buf, vals, ly, lx, cond=None):
-            return commit_box(buf, vals[:, None, None], by0, ly // 8,
+            return commit_box(buf, vals[:, None, None], by0 * NF, ly // 8,
                               t_loc * cu8 + lx // 8 + OFF8, cond)
 
         def commit_mode_fill(mode8_sk, modes, ly, lx, k, cond):
-            fill = jnp.broadcast_to(modes[:, None, None], (b_max, k, k))
-            return commit_box(mode8_sk, fill, by0, ly // 8,
+            fill = jnp.broadcast_to(modes[:, None, None], (b_eff, k, k))
+            return commit_box(mode8_sk, fill, by0 * NF, ly // 8,
                               t_loc * cu8 + lx // 8 + OFF8, cond)
 
         # The quadrant / z-cell / 4x4-sub-block chains are lax.scans (not
@@ -845,7 +922,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
         # READ stay carried: the reconstruction, the 8-granularity mode map
         # (MPM context), and the 8x8 cell costs.
         def encode_ctb32(carry, oy, ox):
-            (recon_sk, mode8_sk, c8_sk) = carry
+            (work, mode8_sk, c8_sk) = carry
 
             def quad_body(qc, quad):
                 recon_, mode8_, c8_, qsum = qc
@@ -857,9 +934,6 @@ def _build_wavefront2(height: int, width: int, qp: int,
                     recon_, mode8_, c8_ = zc
                     ly8 = oy + (qdy * 2 + (z >> 1)) * 8
                     lx8 = ox + (qdx * 2 + (z & 1)) * 8
-
-                    cost8, mode8b, rec8, q8b = encode_unit_b(
-                        8, recon_, mode8_, ly8, lx8)
 
                     ys = {}
                     if enable_nxn:
@@ -880,10 +954,18 @@ def _build_wavefront2(height: int, width: int, qp: int,
 
                         (recon_, cost_nxn, last_m4), ys4 = jax.lax.scan(
                             s4_body,
-                            (recon_, jnp.zeros_like(cost8),
-                             jnp.zeros_like(mode8b)),
+                            (recon_, jnp.zeros((b_eff,), jnp.float32),
+                             jnp.zeros((b_eff,), jnp.int32)),
                             jnp.arange(4))
                         ys.update(ys4)
+                        # The 8x8 2Nx2N trial reads only OUTSIDE the cell
+                        # (its L-pattern and NN portions never overlap the
+                        # 4x4 interior), so running it after the s4 chain
+                        # is bit-identical - and keeps the reconstruction
+                        # a single linear def-use chain XLA can update in
+                        # place through the scan.
+                        cost8, mode8b, rec8, q8b = encode_unit_b(
+                            8, recon_, mode8_, ly8, lx8)
                         use2n = (cost8 + lam * SB["part_2nx2n"]
                                  < cost_nxn + lam * SB["part_nxn"])
                         cell_cost = jnp.where(
@@ -892,6 +974,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
                     else:
                         # Speed knob: 8x8 cells are always 2Nx2N leaves (the
                         # 4x4 z-chains are the critical-path hot spot).
+                        cost8, mode8b, rec8, q8b = encode_unit_b(
+                            8, recon_, mode8_, ly8, lx8)
                         last_m4 = mode8b
                         use2n = jnp.ones_like(cost8, bool)
                         cell_cost = cost8 + lam * SB["part_2nx2n"]
@@ -917,8 +1001,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 # Fixed-order adds over the 2x2 cell costs (a 4-way float
                 # reduce is not guaranteed order-stable across shapes).
                 csub = jax.lax.dynamic_slice(
-                    c8_, (by0, ly16 // 8, t_loc * cu8 + lx16 // 8 + OFF8),
-                    (b_max, 2, 2))
+                    c8_, (by0 * NF, ly16 // 8,
+                          t_loc * cu8 + lx16 // 8 + OFF8),
+                    (b_eff, 2, 2))
                 cost8s = (((csub[:, 0, 0] + csub[:, 0, 1]) + csub[:, 1, 0])
                           + csub[:, 1, 1]) + lam * SB["split1"]
                 cost16f = cost16 + lam * SB["split0"]
@@ -934,33 +1019,33 @@ def _build_wavefront2(height: int, width: int, qp: int,
                           s16=jnp.where(use16, 0, 1).astype(jnp.int32))
                 return (recon_, mode8_, c8_, qsum + qcost_q), ys
 
-            (recon_sk, mode8_sk, c8_sk, qsum), ys_q = jax.lax.scan(
+            (work, mode8_sk, c8_sk, qsum), ys_q = jax.lax.scan(
                 quad_body,
-                (recon_sk, mode8_sk, c8_sk,
-                 jnp.zeros((b_max,), jnp.float32)
+                (work, mode8_sk, c8_sk,
+                 jnp.zeros((b_eff,), jnp.float32)
                  + frame_sk[0, 0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
 
             # --- 32x32 candidate ---
             cost32, mode32, rec32, qq32 = encode_unit_b(
-                32, recon_sk, mode8_sk, oy, ox)
+                32, work, mode8_sk, oy, ox)
             cost_quads = qsum + lam * SB["split1"]
             cost32f = cost32 + lam * SB["split0"]
             use32 = cost32f < cost_quads
             c32_best = jnp.where(use32, cost32f, cost_quads)
 
-            recon_sk = commit_rec(recon_sk, rec32, oy, ox, use32)
+            work = commit_rec(work, rec32, oy, ox, use32)
             mode8_sk = commit_mode_fill(mode8_sk, mode32, oy, ox, 4, use32)
 
             ys = dict(ys_q)
             ys.update(m32=mode32, q32=qq32,
                       s32=jnp.where(use32, 0, 1).astype(jnp.int32))
-            return (recon_sk, mode8_sk, c8_sk), c32_best, ys
+            return (work, mode8_sk, c8_sk), c32_best, ys
 
-        carry = (recon_sk, mode8_sk, c8_sk)
+        carry = (work, mode8_sk, c8_sk)
         if ctb == 32:
             carry, _, ys_step = encode_ctb32(carry, 0, 0)
-            (recon_sk, mode8_sk, c8_sk) = carry
+            (work, mode8_sk, c8_sk) = carry
         else:
             # --- CTB 64: four 32-quadrants in z-order, then a 64x64
             #     2Nx2N candidate (one signalled mode, four forced TU32s
@@ -975,10 +1060,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
 
             (carry, csum64), ys_sub = jax.lax.scan(
                 quad64_body,
-                (carry, jnp.zeros((b_max,), jnp.float32)
+                (carry, jnp.zeros((b_eff,), jnp.float32)
                  + frame_sk[0, 0, 0].astype(jnp.float32) * 0),
                 jnp.arange(4))
-            (recon_sk, mode8_sk, c8_sk) = carry
+            (work, mode8_sk, c8_sk) = carry
 
             c32c = size_consts[32]
             uf35 = jnp.asarray(c32c["use_filt"])
@@ -1010,9 +1095,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 return jnp.where(m == 0, planar,
                                  jnp.where(m == 1, dc_blk, ang))
 
-            patch = jnp.zeros((b_max, n_modes, 64, 64), jnp.int32)
-            qall = jnp.zeros((b_max, n_modes, 64, 64), jnp.int32)
-            cost64 = jnp.zeros((b_max, n_modes), jnp.float32)
+            patch = jnp.zeros((b_eff, n_modes, 64, 64), jnp.int32)
+            qall = jnp.zeros((b_eff, n_modes, 64, 64), jnp.int32)
+            cost64 = jnp.zeros((b_eff, n_modes), jnp.float32)
             for tz in range(4):       # static 4-iter python loop
                 tdy, tdx = (tz >> 1) * 32, (tz & 1) * 32
                 by_32 = jnp.clip(by_ids * 2 + (tz >> 1), 0,
@@ -1023,12 +1108,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 dpl, lys, rxs = trip[:, 0], trip[:, 1], trip[:, 2]
                 okd = dpl > -5
                 plane = jnp.clip(by_ids[:, None] + ROW0 + dpl, 0,
-                                 n_planes - 1)
-                xi = jnp.clip(t_loc * ctb + rxs, 0, W_sk - 1)
-                out_val = jnp.take(
-                    recon_sk.reshape(-1), (plane * PH + lys) * W_sk + xi,
-                    mode="clip")
-                out_val = jnp.where(okd, out_val, 128)       # (b, S)
+                                 n_planes - 1) * NF + f_ids[:, None]
+                wxi = jnp.clip(rxs, 0, WIN - 1)
+                out_val = jnp.where(okd, work[plane, lys, wxi],
+                                    128)                     # (b, S)
                 # Composite source: per-mode patch inside the CU, committed
                 # reconstruction outside (TU z-order == 32-block order, so
                 # the same class tables apply).
@@ -1048,8 +1131,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 preds = jax.vmap(lambda a, b: jax.vmap(predict_mode32)(
                     jnp.arange(n_modes), a, b))(rts, rls)
                 orig = jax.lax.dynamic_slice(
-                    frame_sk, (by0, tdy, t_loc * ctb + tdx + OFF),
-                    (b_max, 32, 32))
+                    frame_sk, (by0 * NF, tdy, t_loc * ctb + tdx + OFF),
+                    (b_eff, 32, 32))
                 resi = orig[:, None] - preds
                 coeff = jax.vmap(lambda r: fwd_t(32, r))(resi)
                 qq, tu_bits = jax.vmap(
@@ -1091,14 +1174,21 @@ def _build_wavefront2(height: int, width: int, qp: int,
             use64 = c64_best + lam * SB["split0"] \
                 < csum64 + lam * SB["split1"]
 
-            recon_sk = commit_box(recon_sk, jnp.where(
+            work = commit_box(work, jnp.where(
                 use64[:, None, None], rec64,
                 jax.lax.dynamic_slice(
-                    recon_sk, (by0 + ROW0, 0, t_loc * ctb + OFF),
-                    (b_max, 64, 64))), by0 + ROW0, 0, t_loc * ctb + OFF)
+                    work, ((by0 + ROW0) * NF, 0, OFF),
+                    (b_eff, 64, 64))), (by0 + ROW0) * NF, 0, OFF)
             mode8_sk = commit_mode_fill(mode8_sk, mode64, 0, 0, 8, use64)
             ys_step = dict(sub=ys_sub, m64=mode64, q64=qq64,
                            s64=jnp.where(use64, 0, 1).astype(jnp.int32))
+
+        # Write the committed CTB column back into the full skewed plane -
+        # the only recon update of the step.
+        recon_sk = jax.lax.dynamic_update_slice(
+            recon_sk, jax.lax.dynamic_slice(
+                work, (0, 0, OFF), (n_planes * NF, PH, ctb)),
+            (0, 0, ws + OFF))
 
         if halo_axis is not None:
             # Causal halo over ICI: each stripe's bottom reconstruction
@@ -1119,30 +1209,40 @@ def _build_wavefront2(height: int, width: int, qp: int,
         return (frame_sk, recon_sk, mode8_sk, c8_sk), ys_step
 
     def run(frame_u8):
-        """Returns (recon (height, width) int32, ys) where ys is the pytree
-        of per-step stacked decisions (leading axis n_steps), assembled into
-        the grid format by `_assemble_arrays` on the host."""
-        frame = frame_u8.astype(jnp.int32)
-        zero = frame[0, 0] * 0
-        rows = frame.reshape(sby, ctb, width)
-        planes = [jnp.pad(rows[by], ((0, 0), (OFF + 2 * ctb * by,
-                                              W_sk - width - OFF
-                                              - 2 * ctb * by)))
-                  for by in range(sby)]
+        """Returns (recon int32, ys): recon is (height, width) for a single
+        frame or (n_frames, height, width) for a batched build; ys is the
+        pytree of per-step stacked decisions (leading axis n_steps, slot
+        axis b_max * n_frames), assembled into the grid format by
+        `_assemble_arrays` on the host."""
+        frames = frame_u8.astype(jnp.int32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        zero = frames[0, 0, 0] * 0
+        plane_list = []
+        for by in range(sby):
+            for f in range(NF):
+                plane_list.append(jnp.pad(
+                    frames[f, by * ctb:(by + 1) * ctb],
+                    ((0, 0), (OFF + 2 * ctb * by,
+                              W_sk - width - OFF - 2 * ctb * by))))
         frame_sk = jnp.concatenate(
-            [jnp.stack(planes),
-             jnp.zeros((b_max - 1, ctb, W_sk), jnp.int32)], 0) + zero
-        recon_sk = jnp.zeros((n_planes, PH, W_sk), jnp.int32) + zero
-        mode8_sk = jnp.full((sby + b_max - 1, cu8, W8), 1, jnp.int32) + zero
-        c8_sk = jnp.zeros((sby + b_max - 1, cu8, W8), jnp.float32) \
+            [jnp.stack(plane_list),
+             jnp.zeros(((b_max - 1) * NF, ctb, W_sk), jnp.int32)], 0) + zero
+        recon_sk = jnp.zeros((n_planes * NF, PH, W_sk), jnp.int32) + zero
+        mode8_sk = jnp.full(((sby + b_max - 1) * NF, cu8, W8),
+                            1, jnp.int32) + zero
+        c8_sk = jnp.zeros(((sby + b_max - 1) * NF, cu8, W8), jnp.float32) \
             + zero.astype(jnp.float32)
         state = (frame_sk, recon_sk, mode8_sk, c8_sk)
         state, ys = jax.lax.scan(step, state, jnp.arange(n_steps))
         recon_sk = state[1]
-        out_rows = [jax.lax.slice(
-            recon_sk[ROW0 + by], (0, OFF + 2 * ctb * by),
-            (ctb, OFF + 2 * ctb * by + width)) for by in range(sby)]
-        recon = jnp.concatenate(out_rows, 0)
+        outs = []
+        for f in range(NF):
+            out_rows = [jax.lax.slice(
+                recon_sk[(ROW0 + by) * NF + f], (0, OFF + 2 * ctb * by),
+                (ctb, OFF + 2 * ctb * by + width)) for by in range(sby)]
+            outs.append(jnp.concatenate(out_rows, 0))
+        recon = outs[0] if NF == 1 else jnp.stack(outs)
         return recon, ys
 
     return run if halo_axis is not None else jax.jit(run)
@@ -1384,22 +1484,14 @@ def _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
     )
 
 
-_W2_BATCH_CACHE: dict = {}
-
-
 def _jitted_wavefront2_batch(height, width, qp, lam_scale, policy, bundle,
-                             ctb=CTB, enable_nxn=True):
-    import jax
-
-    key = (height, width, qp, lam_scale, policy, id(bundle), ctb, enable_nxn)
-    hit = _W2_BATCH_CACHE.get(key)
-    if hit is not None:
-        return hit[0]
-    run = _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                             ctb=ctb, enable_nxn=enable_nxn)
-    batched = jax.jit(jax.vmap(run))
-    _cache_put(_W2_BATCH_CACHE, key, (batched, bundle))
-    return batched
+                             ctb=CTB, enable_nxn=True, n_frames=4):
+    """Multi-frame program (frames interleaved into the plane axis — NOT a
+    vmap, which de-hoists the constant tables and crashes the axon worker
+    at b>=4; see the n_frames note in `_build_wavefront2`)."""
+    return _jitted_wavefront2(height, width, qp, lam_scale, policy, bundle,
+                              ctb=ctb, enable_nxn=enable_nxn,
+                              n_frames=n_frames)
 
 
 def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
@@ -1425,14 +1517,28 @@ def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
     bundle = getattr(pnn, "bundle", pnn)
     b, h, w = frames_uint8.shape
     run = _jitted_wavefront2_batch(h, w, qp, lam_scale, policy, bundle, ctb,
-                                   enable_nxn)
+                                   enable_nxn, n_frames=b)
     recon, ys = run(jnp.asarray(frames_uint8))
     recon = np.asarray(recon)
     ys = jax.tree_util.tree_map(np.asarray, ys)
+
+    def extract(tree, f):
+        # The composite slot axis is ordered (slot, frame); level arrays
+        # ('q*') carry a trailing (n, n) block so their slot axis sits at
+        # -3, scalar-per-slot leaves at -1.
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = extract(v, f)
+            else:
+                axis = -3 if k.startswith("q") else -1
+                idx = np.arange(v.shape[axis] // b) * b + f
+                out[k] = np.take(v, idx, axis=axis)
+        return out
+
     out = []
     for i in range(b):
-        ys_i = jax.tree_util.tree_map(lambda a: a[i], ys)
-        arrays = (recon[i],) + _assemble_arrays(ys_i, h, w, ctb)
+        arrays = (recon[i],) + _assemble_arrays(extract(ys, i), h, w, ctb)
         out.append(_arrays_to_result(frames_uint8[i], qp, arrays, policy,
                                      serialize, ctb=ctb))
     return out
