@@ -712,6 +712,18 @@ class FrameEncoder:
                                transform_skip=self.transform_skip)
 
 
+def stream_header(*, width: int, height: int, qp: int, policy: str,
+                  ctu_size: int, sign_hiding: bool, deblocking: bool = False,
+                  max_tu_depth: int = 0, has_sao: bool = False,
+                  transform_skip: bool = False) -> bytes:
+    """The framework container header (shared by Python + native packers)."""
+    return struct.pack("<4sBBBBBBBBBII", MAGIC, VERSION,
+                       POLICIES.index(policy), qp, 1 if sign_hiding else 0,
+                       1 if deblocking else 0, max_tu_depth,
+                       1 if has_sao else 0, 1 if transform_skip else 0,
+                       ctu_size, width, height)
+
+
 def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
                     ctu_size: int, sign_hiding: bool,
                     deblocking: bool = False, max_tu_depth: int = 0,
@@ -720,10 +732,11 @@ def serialize_trees(trees, *, width: int, height: int, qp: int, policy: str,
 
     Shared by the RDO encoder and the wavefront (fixed-grid) encoder.
     """
-    header = struct.pack("<4sBBBBBBBBBII", MAGIC, VERSION, POLICIES.index(policy),
-                         qp, 1 if sign_hiding else 0, 1 if deblocking else 0,
-                         max_tu_depth, 1 if sao_grid is not None else 0,
-                         1 if transform_skip else 0, ctu_size, width, height)
+    header = stream_header(width=width, height=height, qp=qp, policy=policy,
+                           ctu_size=ctu_size, sign_hiding=sign_hiding,
+                           deblocking=deblocking, max_tu_depth=max_tu_depth,
+                           has_sao=sao_grid is not None,
+                           transform_skip=transform_skip)
     enc = cabac.CabacEncoder()
     ctx = make_context_states(qp)
     uh, uw = height // 4, width // 4

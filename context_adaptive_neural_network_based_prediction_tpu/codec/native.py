@@ -68,6 +68,11 @@ def load_library():
             lib.deblock_chroma_native.argtypes = [
                 i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
                 ctypes.c_int]
+            lib.pack_tree_grids.restype = ctypes.c_int64
+            lib.pack_tree_grids.argtypes = (
+                [ctypes.POINTER(ctypes.c_int32)] * 14
+                + [ctypes.c_int32] * 6
+                + [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64])
             _lib = lib
     return _lib
 
@@ -96,6 +101,49 @@ def pack_grid_payload(modes: np.ndarray, qcoeffs: np.ndarray, n: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if size < 0:
         raise RuntimeError(f"pack_grid failed with code {size}")
+    return bytes(out[:size])
+
+
+def pack_tree_payload(grids, *, width: int, height: int, qp: int,
+                      ctu_size: int, policy: str,
+                      sign_hiding: bool = True) -> bytes:
+    """CABAC payload for a wavefront2 decided-grid frame (no header).
+
+    `grids` is the `_assemble_arrays` tuple (m8, q8, s8, m4, q4, m16, q16,
+    s16, m32, q32, s32[, m64, q64, s64]).  Byte-identical to
+    `encoder.serialize_trees` over the equivalent CuNode trees — the native
+    packer walks the grids directly, taking the per-frame Python
+    serializer (2.5 s/frame of pure-Python CABAC at 1080p) off the encode
+    pipeline's critical path."""
+    import ctypes as ct
+
+    lib = load_library()
+    if len(grids) == 11:
+        (m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32) = grids
+        m64 = q64 = s64 = None
+    else:
+        (m8, q8, s8, m4, q4, m16, q16, s16, m32, q32, s32,
+         m64, q64, s64) = grids
+
+    def p(a):
+        if a is None:
+            return ct.POINTER(ct.c_int32)()
+        a = np.ascontiguousarray(a, dtype=np.int32)
+        _keep.append(a)
+        return a.ctypes.data_as(ct.POINTER(ct.c_int32))
+
+    _keep = []
+    cap = max(width * height * 4, 1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    size = lib.pack_tree_grids(
+        p(m4), p(q4), p(m8), p(q8), p(s8), p(m16), p(q16), p(s16),
+        p(m32), p(q32), p(s32), p(m64), p(q64), p(s64),
+        width, height, qp, ctu_size,
+        {"regular": 0, "substitution": 1, "switch": 2}[policy],
+        1 if sign_hiding else 0,
+        out.ctypes.data_as(ct.POINTER(ct.c_uint8)), cap)
+    if size < 0:
+        raise RuntimeError(f"pack_tree_grids failed with code {size}")
     return bytes(out[:size])
 
 

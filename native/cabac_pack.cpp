@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <vector>
 #include <algorithm>
 
@@ -348,7 +349,8 @@ void write_coef_remain(Encoder& e, int symbol, int r) {
   }
 }
 
-void encode_coefficients(Encoder& e, const int32_t* coeffs, int n, int mode) {
+void encode_coefficients(Encoder& e, const int32_t* coeffs, int n, int mode,
+                         int sign_hiding = 0) {
   int log2n = 0;
   while ((1 << log2n) < n) log2n++;
   int scan_type = select_scan(mode, n);
@@ -400,12 +402,14 @@ void encode_coefficients(Encoder& e, const int32_t* coeffs, int n, int mode) {
     int abs_coeffs[16];
     uint32_t coeff_signs = 0;
     int num_nonzero = 0;
+    int last_nz_in_cg = -1, first_nz_in_cg = 16;
 
     if (scan_pos_sig == scan_pos_last) {
       int v = coeffs[pos_last];
       abs_coeffs[0] = std::abs(v);
       coeff_signs = v < 0 ? 1 : 0;
       num_nonzero = 1;
+      last_nz_in_cg = first_nz_in_cg = scan_pos_sig;
       scan_pos_sig--;
     }
 
@@ -433,6 +437,8 @@ void encode_coefficients(Encoder& e, const int32_t* coeffs, int n, int mode) {
           abs_coeffs[num_nonzero] = std::abs(coeffs[rp]);
           coeff_signs = 2 * coeff_signs + (coeffs[rp] < 0 ? 1 : 0);
           num_nonzero++;
+          if (last_nz_in_cg == -1) last_nz_in_cg = scan_pos_sig;
+          first_nz_in_cg = scan_pos_sig;
         }
       }
     } else {
@@ -465,7 +471,13 @@ void encode_coefficients(Encoder& e, const int32_t* coeffs, int n, int mode) {
         if (symbol) escape = true;
       }
       escape = escape || (num_nonzero > 8);
-      e.encode_bins_ep(coeff_signs, num_nonzero);
+      // Sign-data hiding: CGs whose first..last nonzero span >= 4 omit the
+      // first (forward-scan) sign; the decoder infers it from the level-sum
+      // parity (syntax.py:306-311 semantics).
+      if (sign_hiding && last_nz_in_cg - first_nz_in_cg >= 4)
+        e.encode_bins_ep(coeff_signs >> 1, num_nonzero - 1);
+      else
+        e.encode_bins_ep(coeff_signs, num_nonzero);
       if (escape) {
         int first2 = 1;
         for (int idx = 0; idx < num_nonzero; idx++) {
@@ -565,6 +577,198 @@ int64_t pack_grid(const int32_t* modes, const int32_t* qcoeffs, int32_t nby,
       if (cbf) encode_coefficients(e, q, n, mode);
     }
   }
+  e.terminate_and_finish();
+  if (static_cast<int64_t>(e.bytes.size()) > cap) return -1;
+  std::memcpy(out, e.bytes.data(), e.bytes.size());
+  return static_cast<int64_t>(e.bytes.size());
+}
+
+
+// Packs the wavefront2 decided-grid frame: the quadtree serializer of
+// `codec/encoder.py:serialize_trees` walking the assembled grids directly
+// (split flags with the left/above-depth context, 8x8 NxN partitions,
+// MPM-coded intra modes incl. the switch policy's PNNS flag and MPM
+// special cases, forced TU32 splits under 64x64 CUs, CBF + coefficients
+// with sign-data hiding).  Byte-identical to the Python serializer; this
+// is the host half of the encode pipeline, off the per-frame Python path.
+// policy: 0 regular / 1 substitution / 2 switch.  m64/q64/s64 may be null
+// when ctu_size == 32.  Returns payload bytes, -1 on overflow, -2 on args.
+int64_t pack_tree_grids(const int32_t* m4, const int32_t* q4,
+                        const int32_t* m8, const int32_t* q8,
+                        const int32_t* s8, const int32_t* m16,
+                        const int32_t* q16, const int32_t* s16,
+                        const int32_t* m32, const int32_t* q32,
+                        const int32_t* s32, const int32_t* m64,
+                        const int32_t* q64, const int32_t* s64,
+                        int32_t width, int32_t height, int32_t qp,
+                        int32_t ctu_size, int32_t policy,
+                        int32_t sign_hiding, uint8_t* out, int64_t cap) {
+  if (width % ctu_size || height % ctu_size) return -2;
+  if (ctu_size != 32 && ctu_size != 64) return -2;
+  if (ctu_size == 64 && (!m64 || !q64 || !s64)) return -2;
+  const int kPnnsMode = 35;
+  const int uh = height / 4, uw = width / 4;
+  std::vector<int32_t> mode_map(uh * uw, -1);
+  std::vector<int8_t> depth_map(uh * uw, 0);
+  std::vector<int8_t> coded(uh * uw, 0);
+  Encoder e;
+  e.init_contexts(qp);
+
+  auto split_ctx = [&](int x, int y, int depth) {
+    int c = 0;
+    int ux = x / 4, uy = y / 4;
+    if (x > 0 && coded[uy * uw + ux - 1])
+      c += depth_map[uy * uw + ux - 1] > depth ? 1 : 0;
+    if (y > 0 && coded[(uy - 1) * uw + ux])
+      c += depth_map[(uy - 1) * uw + ux] > depth ? 1 : 0;
+    return c;
+  };
+
+  auto neighbor_mode = [&](int x, int y, bool left) {
+    int nx = left ? x - 1 : x;
+    int ny = left ? y : y - 1;
+    if (!left && y % ctu_size == 0) return 1;  // DC across the CTU row
+    if (nx < 0 || ny < 0) return 1;
+    int m = mode_map[(ny / 4) * uw + nx / 4];
+    return m >= 0 ? m : 1;
+  };
+
+  auto mpms_at = [&](int x, int y, int mpm[3]) {
+    int left = neighbor_mode(x, y, true);
+    int above = neighbor_mode(x, y, false);
+    if (policy == 2) {
+      // hm_16_15_switch MPM rules (TComDataCU.cpp:1475-1596).
+      if (left == above) {
+        if (1 < left && left < kPnnsMode) {
+          mpm[0] = left;
+          mpm[1] = ((left + 29) % 32) + 2;
+          mpm[2] = ((left - 1) % 32) + 2;
+        } else {
+          mpm[0] = 0; mpm[1] = 1; mpm[2] = 26;
+        }
+        return;
+      }
+      if (left == kPnnsMode || above == kPnnsMode) {
+        int m0 = left == kPnnsMode ? above : left;
+        if (m0 > 1) { mpm[0] = m0; mpm[1] = 0; mpm[2] = 1; }
+        else if (m0 == 1) { mpm[0] = 1; mpm[1] = 0; mpm[2] = 26; }
+        else { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+        return;
+      }
+    }
+    mpm_candidates(left, above, mpm);
+  };
+
+  auto coeffs_for = [&](int x, int y, int n) -> const int32_t* {
+    switch (n) {
+      case 4: return q4 + (static_cast<int64_t>(y / 4) * uw + x / 4) * 16;
+      case 8: return q8 + (static_cast<int64_t>(y / 8) * (width / 8)
+                           + x / 8) * 64;
+      case 16: return q16 + (static_cast<int64_t>(y / 16) * (width / 16)
+                             + x / 16) * 256;
+      default: return q32 + (static_cast<int64_t>(y / 32) * (width / 32)
+                             + x / 32) * 1024;
+    }
+  };
+
+  // One TU of size tn at (tx, ty); coefficients live in the size-tn grid
+  // except under a 64-CU, where the four forced TU32s slice q64.
+  auto code_tu = [&](const int32_t* q, int tn, int stride, int tdepth,
+                     int pu_mode) {
+    bool cbf = false;
+    for (int r = 0; r < tn && !cbf; r++)
+      for (int c = 0; c < tn; c++)
+        if (q[r * stride + c]) { cbf = true; break; }
+    e.encode_bin(cbf ? 1 : 0, kCbfLuma + (tdepth == 0 ? 1 : 0));
+    if (!cbf) return;
+    int32_t tmp[32 * 32];
+    if (stride != tn) {
+      for (int r = 0; r < tn; r++)
+        for (int c = 0; c < tn; c++) tmp[r * tn + c] = q[r * stride + c];
+      q = tmp;
+    }
+    encode_coefficients(e, q, tn, pu_mode == kPnnsMode ? 0 : pu_mode,
+                        sign_hiding);
+  };
+
+  auto code_pu_mode = [&](int x, int y, int n, int mode) {
+    int mpm[3];
+    mpms_at(x, y, mpm);
+    if (policy == 2) {
+      e.encode_bin(mode == kPnnsMode ? 1 : 0, kPnnsFlag);
+      if (mode != kPnnsMode) encode_intra_mode(e, mode, mpm);
+    } else {
+      encode_intra_mode(e, mode, mpm);
+    }
+    for (int r = y / 4; r < (y + n) / 4; r++)
+      for (int c = x / 4; c < (x + n) / 4; c++) mode_map[r * uw + c] = mode;
+  };
+
+  auto finish_cu = [&](int x, int y, int size, int depth) {
+    for (int r = y / 4; r < (y + size) / 4; r++)
+      for (int c = x / 4; c < (x + size) / 4; c++) {
+        depth_map[r * uw + c] = static_cast<int8_t>(depth);
+        coded[r * uw + c] = 1;
+      }
+  };
+
+  // Recursive CU walk over the decided structure grids.
+  std::function<void(int, int, int, int)> ser_cu =
+      [&](int x, int y, int size, int depth) {
+        int split = 0;
+        if (size == 64) split = s64[(y / 64) * (width / 64) + x / 64];
+        else if (size == 32) split = s32[(y / 32) * (width / 32) + x / 32];
+        else if (size == 16) split = s16[(y / 16) * (width / 16) + x / 16];
+        if (size > 8)
+          e.encode_bin(split, kSplitCu + split_ctx(x, y, depth));
+        if (split) {
+          int half = size / 2;
+          ser_cu(x, y, half, depth + 1);
+          ser_cu(x + half, y, half, depth + 1);
+          ser_cu(x, y + half, half, depth + 1);
+          ser_cu(x + half, y + half, half, depth + 1);
+          return;
+        }
+        if (size == 8) {
+          int nxn = s8[(y / 8) * (width / 8) + x / 8];
+          e.encode_bin(nxn ? 0 : 1, kPartSize);
+          if (nxn) {
+            for (int sq = 0; sq < 4; sq++) {
+              int sx = x + (sq & 1) * 4, sy = y + (sq >> 1) * 4;
+              int mode = m4[(sy / 4) * uw + sx / 4];
+              code_pu_mode(sx, sy, 4, mode);
+              code_tu(coeffs_for(sx, sy, 4), 4, 4, 1, mode);
+            }
+            finish_cu(x, y, size, depth);
+            return;
+          }
+        }
+        int mode;
+        switch (size) {
+          case 8: mode = m8[(y / 8) * (width / 8) + x / 8]; break;
+          case 16: mode = m16[(y / 16) * (width / 16) + x / 16]; break;
+          case 32: mode = m32[(y / 32) * (width / 32) + x / 32]; break;
+          default: mode = m64[(y / 64) * (width / 64) + x / 64]; break;
+        }
+        code_pu_mode(x, y, size, mode);
+        if (size == 64) {
+          // Forced TU32 quadtree under MAX_TU: z-order, trafo depth 1.
+          const int32_t* q = q64
+              + (static_cast<int64_t>(y / 64) * (width / 64) + x / 64) * 4096;
+          for (int tz = 0; tz < 4; tz++) {
+            int tdy = (tz >> 1) * 32, tdx = (tz & 1) * 32;
+            code_tu(q + tdy * 64 + tdx, 32, 64, 1, mode);
+          }
+        } else {
+          code_tu(coeffs_for(x, y, size), size, size, 0, mode);
+        }
+        finish_cu(x, y, size, depth);
+      };
+
+  for (int cy = 0; cy < height; cy += ctu_size)
+    for (int cx = 0; cx < width; cx += ctu_size)
+      ser_cu(cx, cy, ctu_size, 0);
+
   e.terminate_and_finish();
   if (static_cast<int64_t>(e.bytes.size()) > cap) return -1;
   std::memcpy(out, e.bytes.data(), e.bytes.size());

@@ -130,3 +130,48 @@ def test_native_nn_policy_replay_matches_python(policy):
     assert np.array_equal(rn.reconstruction, rp.reconstruction)
     assert np.array_equal(rn.reconstruction, result.reconstruction)
     assert np.array_equal(rn.mode_map, rp.mode_map)
+
+
+def test_native_tree_packer_matches_python_serializer():
+    """pack_tree_grids walks the decided grids directly and must be
+    byte-identical to `encoder.serialize_trees` over the CuNode trees
+    (quadtree splits, NxN partitions, switch-policy PNNS flag + MPM
+    special cases, forced TU32s under 64-CUs, sign-data hiding)."""
+    import jax
+
+    from context_adaptive_neural_network_based_prediction_tpu.codec import (
+        encoder as enc_mod, native, nn_intra)
+    from context_adaptive_neural_network_based_prediction_tpu.models import (
+        pnn)
+    from context_adaptive_neural_network_based_prediction_tpu.parallel import (
+        wavefront2)
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:128]
+    frame = np.clip(128 + 50 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0)
+                    + rng.normal(0, 8, (64, 128)), 0, 255).astype(np.uint8)
+    params = {8: pnn.init_params(jax.random.PRNGKey(1), 8, False)}
+    bundle = nn_intra.PnnBundle(params, {8: False}, 117.9).quantize(
+        n_samples=32)
+    for policy, ctb in (("regular", 32), ("switch", 32), ("regular", 64)):
+        pnn_arg = bundle if policy != "regular" else None
+        run = wavefront2._jitted_wavefront2(
+            64, 128, 37, 1.0, policy, pnn_arg, ctb=ctb)
+        recon, ys = run(np.asarray(frame))
+        grids = wavefront2._assemble_arrays(
+            jax.tree_util.tree_map(np.asarray, ys), 64, 128, ctb)
+        res = wavefront2.encode_frame_wavefront2(
+            frame, 37, policy=policy, pnn=pnn_arg, ctb=ctb, serialize=False)
+        py_stream = enc_mod.serialize_trees(
+            res.ctu_trees, width=128, height=64, qp=37, policy=policy,
+            ctu_size=ctb, sign_hiding=True)
+        hdr = enc_mod.stream_header(width=128, height=64, qp=37,
+                                    policy=policy, ctu_size=ctb,
+                                    sign_hiding=True)
+        nat = native.pack_tree_payload(grids, width=128, height=64, qp=37,
+                                       ctu_size=ctb, policy=policy)
+        assert hdr + nat == py_stream, (policy, ctb)
