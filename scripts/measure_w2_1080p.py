@@ -64,7 +64,8 @@ def main():
         arg = jnp.asarray(frame)
     else:
         run = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, policy,
-                                                  bundle, ctb, nxn)
+                                                  bundle, ctb, nxn,
+                                                  n_frames=batch)
         arg = jnp.asarray(np.stack([frame] * batch))
     out = jax.block_until_ready(run(arg))
     compile_s = time.time() - t0
