@@ -1213,8 +1213,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
             # x' = x + 2*ctb*(sby-1) + OFF -> static roll by 2*ctb*sby).
             bottom = jax.lax.dynamic_slice(
                 recon_sk, (ROW0 + sby - 1, 0, 0), (1, ctb, W_sk))[0]
-            recv = jax.lax.ppermute(
-                bottom, halo_axis, [(i, i + 1) for i in range(n_tiles - 1)])
+            import os as _os
+            if _os.environ.get("CANP_HALO_NOOP"):
+                # Timing probe (scripts/measure_scaling_breakdown.py): same
+                # program structure with the collective removed - outputs
+                # are WRONG, only the compute/communication split is read.
+                recv = bottom
+            else:
+                recv = jax.lax.ppermute(
+                    bottom, halo_axis,
+                    [(i, i + 1) for i in range(n_tiles - 1)])
             recv = jnp.roll(recv, -2 * ctb * sby, axis=1)
             keep = recon_sk[0, :ctb]
             new_halo = jnp.where(d == 0, keep, recv)
