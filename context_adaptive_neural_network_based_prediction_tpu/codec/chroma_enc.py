@@ -56,6 +56,7 @@ class ChromaPass:
         self.cb = cb.astype(np.int32)
         self.cr = cr.astype(np.int32)
         self.hc, self.wc = cb.shape
+        self.qp = qp
         self.qp_cb = chroma_qp_420(qp, cb_qp_offset)
         self.qp_cr = chroma_qp_420(qp, cr_qp_offset)
         self.policy = policy
@@ -145,6 +146,28 @@ class ChromaPass:
         sse = int(((orig - rec) ** 2).sum())
         return sse, cbf, (q if cbf else None), rec
 
+    @property
+    def dist_weight(self) -> float:
+        """HM's chroma distortion weight in the CU RD trial:
+        2^((qp_luma - qp_chroma)/3) (TEncSearch weighted chroma SSE)."""
+        return 2.0 ** ((self.qp - self.qp_cb) / 3.0)
+
+    def save_cu(self, x, y, w_cu, h_cu):
+        """Snapshot of the chroma state a CU trial may touch (luma-coord
+        box); paired with `restore_cu` by FrameEncoder's save/restore."""
+        xc, yc = x // 2, y // 2
+        x1, y1 = min((x + w_cu) // 2, self.wc), min((y + h_cu) // 2, self.hc)
+        return (self.recon_cb[yc:y1, xc:x1].copy(),
+                self.recon_cr[yc:y1, xc:x1].copy(),
+                self.unit_coded[yc // 2:y1 // 2, xc // 2:x1 // 2].copy())
+
+    def restore_cu(self, x, y, w_cu, h_cu, snap):
+        xc, yc = x // 2, y // 2
+        x1, y1 = min((x + w_cu) // 2, self.wc), min((y + h_cu) // 2, self.hc)
+        self.recon_cb[yc:y1, xc:x1] = snap[0]
+        self.recon_cr[yc:y1, xc:x1] = snap[1]
+        self.unit_coded[yc // 2:y1 // 2, xc // 2:x1 // 2] = snap[2]
+
     def _try_mode(self, node: CuNode, tbs, mode: int):
         """Codes all chroma TBs of the CU with `mode` directly into the
         running reconstruction (caller snapshots/restores the CU region).
@@ -172,7 +195,7 @@ class ChromaPass:
             sse_total += sse_b + sse_r
             records.append(ChromaTb(xc, yc, nc, cbf_b, cbf_r, q_b, q_r))
         cost = sse_total + self.lam * counter.frac_bits
-        return cost, records, ctx
+        return cost, records, ctx, sse_total, counter.frac_bits
 
     def _candidates(self, luma_mode: int):
         """Chroma mode candidates: H.265 8.4.3 list, or the switch list
@@ -195,6 +218,9 @@ class ChromaPass:
         return cands
 
     def encode_cu(self, node: CuNode):
+        """RD-selects and COMMITS this CU's chroma mode; returns
+        (sse, frac_bits incl. the chroma-mode syntax bits) of the winner so
+        an integrated caller can fold them into the CU split decision."""
         luma_mode0 = node.pus[0].mode
         if luma_mode0 >= 35 and self.policy != "switch":
             # PNNS luma under a non-switch chroma pass: DM maps to a real
@@ -209,22 +235,32 @@ class ChromaPass:
         pre_units = self.unit_coded[u].copy()
         best = None
         for index, mode in self._candidates(luma_mode0):
-            bits_mode = 1 if index == DM_INDEX else 3  # ctx bin + 2 EP bins
-            cost, records, ctx = self._try_mode(node, tbs, mode)
-            cost += self.lam * bits_mode * cabac.EP_BIN_BITS
+            # Chroma mode syntax: ~1 bin for DM, 3 for the list candidates
+            # (ctx bin + 2 EP bins), in REAL bits.  (Round 3 multiplied by
+            # the 2^15 fixed-point constant here, over-penalizing non-DM
+            # candidates by ~32768 bits - the chroma mode search was
+            # effectively DM-only.)
+            bits_mode = 1.0 if index == DM_INDEX else 3.0
+            cost, records, ctx, sse_t, fbits = self._try_mode(node, tbs,
+                                                              mode)
+            fbits = fbits + bits_mode
+            cost += self.lam * bits_mode
             if best is None or cost < best[0]:
                 best = (cost, index, mode, records,
                         self.recon_cb[yc:yc + nc, xc:xc + nc].copy(),
-                        self.recon_cr[yc:yc + nc, xc:xc + nc].copy(), ctx)
+                        self.recon_cr[yc:yc + nc, xc:xc + nc].copy(), ctx,
+                        sse_t, fbits)
             self.recon_cb[yc:yc + nc, xc:xc + nc] = pre_cb
             self.recon_cr[yc:yc + nc, xc:xc + nc] = pre_cr
             self.unit_coded[u] = pre_units
-        _, index, mode, records, post_cb, post_cr, ctx = best
+        (_, index, mode, records, post_cb, post_cr, ctx, sse_t,
+         fbits) = best
         self.recon_cb[yc:yc + nc, xc:xc + nc] = post_cb
         self.recon_cr[yc:yc + nc, xc:xc + nc] = post_cr
         self.est_ctx = ctx
         node.chroma = CuChroma(index, mode, records)
         self.unit_coded[y // 4:(y + size) // 4, x // 4:(x + size) // 4] = True
+        return sse_t, fbits
 
     def run(self, trees: List[CuNode], est_ctx: np.ndarray):
         self.est_ctx = est_ctx

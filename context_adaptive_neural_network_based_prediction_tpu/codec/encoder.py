@@ -120,7 +120,8 @@ class FrameEncoder:
                  rd_candidates: Optional[dict] = None,
                  use_rdoq: bool = True, deblocking: bool = True,
                  max_tu_depth: int = 2, sao: bool = True,
-                 transform_skip: bool = True, tskip_fast: bool = True):
+                 transform_skip: bool = True, tskip_fast: bool = True,
+                 chroma_rdo=None):
         if policy not in POLICIES:
             raise ValueError(f"unknown policy {policy!r}")
         if policy != "regular" and pnn is None:
@@ -170,6 +171,12 @@ class FrameEncoder:
         self.tu_map = np.full((uh, uw), -1, dtype=np.int32)
         self.tu_counter = 0
         self.est_ctx = make_context_states(qp)
+        # Integrated 4:2:0 RDO (a `chroma_enc.ChromaPass`): every CU trial
+        # adds the CU's best chroma mode cost into the split decision, as
+        # HM's xCheckRDCostIntra -> estIntraPredChromaQT does
+        # (TEncCu.cpp:763,1544).  None = luma-only (or the decoupled
+        # post-pass, the round-3 simplification).
+        self.chroma_rdo = chroma_rdo
 
     # ------------------------------------------------------------ helpers --
 
@@ -180,11 +187,14 @@ class FrameEncoder:
         # (only the CU area itself changes; maps are unit-granular).  The
         # context array is managed explicitly by the trial choreography
         # (it mirrors HM's CI_* snapshot discipline), NOT here.
-        return (self.recon[y:y1, x:x1].copy(),
+        snap = (self.recon[y:y1, x:x1].copy(),
                 self.unit_coded[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4].copy(),
                 self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4].copy())
+        if self.chroma_rdo is not None:
+            snap = snap + (self.chroma_rdo.save_cu(x, y, x1 - x, y1 - y),)
+        return snap
 
     def _restore(self, x, y, size, snap):
         x1 = min(x + size, self.w)
@@ -194,6 +204,8 @@ class FrameEncoder:
         self.mode_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[2]
         self.depth_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[3]
         self.tu_map[y // 4:y1 // 4, x // 4:x1 // 4] = snap[4]
+        if self.chroma_rdo is not None:
+            self.chroma_rdo.restore_cu(x, y, x1 - x, y1 - y, snap[5])
 
     def _neighbor_mode(self, x: int, y: int, left: bool) -> int:
         """Luma mode of the left/above PU for MPM (DC if unavailable)."""
@@ -619,11 +631,22 @@ class FrameEncoder:
         can_split = size > MIN_CU
         node = CuNode(x, y, size, depth, split=False)
         ctx_entry = self.est_ctx.copy()
+        ch = self.chroma_rdo
+        ch_ctx_entry = ch.est_ctx.copy() if ch is not None else None
 
         whole = None
         if inside:
             pre = self._save(x, y, size)
             bits_w, sse_w, node_w = self._compress_leaf(x, y, size, depth)
+            if ch is not None:
+                # HM folds the CU's best chroma mode into the same RD trial
+                # (xCheckRDCostIntra -> estIntraPredChromaQT); distortion is
+                # weighted by 2^((qp - qp_chroma)/3), HM's chroma distortion
+                # weight.  Accumulated into (sse, bits) so parent-level
+                # split sums carry it too.
+                ch_sse, ch_fbits = ch.encode_cu(node_w)
+                sse_w = sse_w + ch.dist_weight * ch_sse
+                bits_w = bits_w + ch_fbits
             if can_split:
                 # Split-flag bits appended to the whole option
                 # (TEncCu.cpp:795-805; the count mutates NEXT_BEST).
@@ -633,11 +656,14 @@ class FrameEncoder:
                 bits_w += c.bits >> 15
             cost_w = sse_w + self.lam * bits_w
             whole = (bits_w, sse_w, cost_w, node_w,
-                     self._save(x, y, size), self.est_ctx)
+                     self._save(x, y, size), self.est_ctx,
+                     ch.est_ctx if ch is not None else None)
             if not can_split:
                 return bits_w, sse_w, cost_w, node_w
             self._restore(x, y, size, pre)
             self.est_ctx = ctx_entry.copy()
+            if ch is not None:
+                ch.est_ctx = ch_ctx_entry.copy()
 
         # Split branch.
         bits_s, sse_s = 0, 0
@@ -661,6 +687,8 @@ class FrameEncoder:
             return bits_s, sse_s, cost_s, node
         self._restore(x, y, size, whole[4])
         self.est_ctx = whole[5]
+        if ch is not None:
+            ch.est_ctx = whole[6]
         return whole[0], whole[1], whole[2], whole[3]
 
     def _commit_depth(self, x, y, size, depth):

@@ -467,12 +467,19 @@ def assemble_hm_stream(result, *, sao_enabled: bool, deblocking: bool,
             + _nal(NAL_SUFFIX_SEI, sei, long_start=False))
 
 
-def encode_frame_hm_420(ycbcr_or_planes, qp: int, **kwargs) -> tuple:
+def encode_frame_hm_420(ycbcr_or_planes, qp: int,
+                        chroma_in_rdo: bool = True, **kwargs) -> tuple:
     """Encodes a 4:2:0 frame into a standard HEVC Main-profile stream.
 
     Input: (H, W, 3) YCbCr array (chroma subsampled by decimation) or a
     (y, cb, cr) plane tuple with cb/cr at half resolution.  Returns
     (annexb_stream, EncodeResult, recon_cb, recon_cr).
+
+    `chroma_in_rdo=True` (default) folds each CU's best chroma mode cost
+    into the luma CU-split RD trial, HM's integrated behaviour
+    (TEncCu.cpp:763,1544 xCheckRDCostIntra -> estIntraPredChromaQT);
+    False keeps the round-3 decoupled post-pass (chroma decided over the
+    frozen luma tree) for the ablation in RESULTS.md.
     """
     from . import chroma_enc, deblock
     from . import encoder as enc_mod
@@ -488,13 +495,19 @@ def encode_frame_hm_420(ycbcr_or_planes, qp: int, **kwargs) -> tuple:
         cr = arr[::2, ::2, 2]
 
     fe = enc_mod.FrameEncoder(y, qp, **kwargs)
-    result = fe.encode()
-
     cp = chroma_enc.ChromaPass(cb, cr, qp, lam=fe.lam,
                                sign_hiding=fe.sign_hiding,
                                use_rdoq=fe.use_rdoq,
                                policy=fe.policy, pnn=fe.pnn)
-    rec_cb, rec_cr = cp.run(result.ctu_trees, make_context_states(qp))
+    if chroma_in_rdo:
+        cp.est_ctx = make_context_states(qp)
+        fe.chroma_rdo = cp
+        result = fe.encode()
+        rec_cb = cp.recon_cb.astype(np.uint8)
+        rec_cr = cp.recon_cr.astype(np.uint8)
+    else:
+        result = fe.encode()
+        rec_cb, rec_cr = cp.run(result.ctu_trees, make_context_states(qp))
     if fe.deblocking:
         rec_cb = deblock.deblock_chroma(rec_cb, fe.tu_map, chroma_qp_420(qp))
         rec_cr = deblock.deblock_chroma(rec_cr, fe.tu_map, chroma_qp_420(qp))

@@ -87,19 +87,27 @@ if __name__ == "__main__":
     for path in sorted(glob.glob("artifacts/frozen/pnn_w*.npz")):
         if path in have:
             continue
-        m = re.match(r".*/pnn_w(\d+)(_fc)?_(single|pair)\.npz", path)
+        m = re.match(r".*/pnn_w(\d+)(_fc|_refconv)?_(single|pair)\.npz",
+                     path)
         if m:
             entries.append((int(m.group(1)), m.group(3) == "pair", path))
     # Three-key manifest (width, is_pair, channel, path) listing only files
-    # that exist.  FC and conv entries for the same width would collide;
-    # prefer the architecture the reference uses per width (FC for 4/8,
-    # conv for 16+), keeping the other file on disk.
+    # that exist.  Collisions per (width, is_pair) rank by quality:
+    # reference-imported conv weights ("refconv", the shipped 800k-iter
+    # zoo, checkpoint-parity-tested) beat anything trained on the 8 local
+    # photos, then the reference's per-width architecture (FC for 4/8,
+    # conv for 16+).  Pair models have no reference checkpoint, so the
+    # local ones are the only candidates there.
+    def rank(width, path):
+        if "_refconv_" in path:
+            return 2
+        is_fc = "_fc_" in path
+        return 1 if is_fc == (width <= 8) else 0
+
     pref = {}
     for width, is_pair, path in entries:
-        is_fc = "_fc_" in path
-        want_fc = width <= 8
         key = (width, is_pair)
-        if key not in pref or (is_fc == want_fc):
+        if key not in pref or rank(width, path) > rank(width, pref[key]):
             pref[key] = path
     with open("artifacts/frozen/manifest_trained.txt", "w") as f:
         for (width, is_pair), path in sorted(pref.items()):

@@ -4,6 +4,8 @@
 # pair model on the TPU, then freeze + quantize.  Shards are a derived
 # artifact: `build_training_set.py` is the committed, reproducible recipe
 # (VERDICT missing #5 - the round-3 shards were working-tree only).
+# freeze/quantize run after EVERY stage so a wall-clock cut still ships
+# whatever trained.
 set -x
 cd /root/repo
 
@@ -18,13 +20,13 @@ BUILD="python scripts/build_training_set.py"
 # w64 single to 60k (round-3 stopped at 30k, checkpoints uncommitted).
 $TRAIN 64 --arch convolutional \
   --shards artifacts/training_set/luminance \
-  --mean $MEAN --iters 60000 --results-root artifacts/pnn_results --chunk 100
+  --mean $MEAN --iters 60000 --results-root artifacts/pnn_results --chunk 200
+python scripts/freeze_zoo.py && python scripts/quantize_zoo.py
 
-# w64 pair - the zoo's last absent (width, pair) combination.
+# w64 pair - the zoo's last absent (width, pair) combination.  25k on the
+# 8-photo corpus (the local pair models saturate early - RESULTS.md).
 $TRAIN 64 --arch convolutional --pair \
   --shards artifacts/training_set/luminance_pair \
-  --mean $MEAN --iters 60000 --results-root artifacts/pnn_results --chunk 100
-
-python scripts/freeze_zoo.py
-python scripts/quantize_zoo.py
+  --mean $MEAN --iters 25000 --results-root artifacts/pnn_results --chunk 200
+python scripts/freeze_zoo.py && python scripts/quantize_zoo.py
 echo ROUND4_TRAINING_DONE
