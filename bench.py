@@ -7,8 +7,9 @@ Round-2 VERDICT asked the regression metric to track the FRONTIER encoder,
 not its best corner: the measured quantity is now the fully-jitted
 wavefront2 quadtree encoder (CTB-32 depth 32/16/8/4, calibrated rate model,
 device SDH) on the NATURAL ParkScene luma 1080p frame at QP 32, in the
-sustained serving mode (a batch of 4 frames pipelined through one vmapped
-program), with the SAME encoder's committed BD-rate vs HM-16.15
+sustained serving mode (4 frames interleaved into one program's plane
+axis - round 4's skewed systolic layout), with the SAME encoder's
+committed BD-rate vs HM-16.15
 (artifacts/bd_wavefront_v2_parkscene.json, NAL-exact both sides, TPU-encoded
 streams asserted bit-exact against the host decoder) attached as
 "bd_full_vs_hm_pct".  The throughput-corner v1 encoder (uniform 16x16 grid,
@@ -110,6 +111,19 @@ def _measure(out_path):
     return results
 
 
+def _e2e_fps():
+    """Committed sustained end-to-end fps (device + host pack pipeline,
+    scripts/measure_e2e_stream.py) for the same 1080p config."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts/w2_e2e_round4.json")) as f:
+            rows = json.load(f)
+        return round(max(r["e2e_fps"] for r in rows
+                         if r["policy"] == "regular"), 3)
+    except Exception:
+        return None
+
+
 def _bd_full():
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -145,6 +159,7 @@ def main():
             "bd_full_vs_hm_pct": _bd_full(),
             "v2_b1_fps": round(results.get("v2_b1_fps", 0.0), 3),
             "v1_fps": round(results.get("v1_fps", 0.0), 3),
+            "e2e_fps": _e2e_fps(),
         }))
         return
     except Exception:
