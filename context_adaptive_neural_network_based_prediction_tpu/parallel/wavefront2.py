@@ -415,6 +415,21 @@ def _build_wavefront2(height: int, width: int, qp: int,
             lastx=lastx, lasty=lasty,
             sg=sgather[mode_scan], inv_sg=inv_gather[mode_scan],
         )
+        # Gather-free (matmul/one-hot) scan machinery, the Mosaic-safe form
+        # for the round-5 fused unit kernel (TPU serializes big-index
+        # gathers on the scalar core).  For n > 8 the HEVC scan is always
+        # diagonal (TComTrQuant getCoefScanIdx), so ONE permutation
+        # suffices; 4/8 keep per-mode one-hots (tiny).
+        sgm = sgather[mode_scan]
+        if n > 8:
+            p1 = np.zeros((n * n, n * n), np.int8)
+            p1[np.arange(n * n), sgm[0]] = 1
+            size_consts[n]["scan_p"] = p1           # (N_scan, N_raster)
+        else:
+            pm = np.zeros((len(sgm), n * n, n * n), np.int8)
+            for m in range(len(sgm)):
+                pm[m, np.arange(n * n), sgm[m]] = 1
+            size_consts[n]["scan_p"] = pm
         if n in nn_widths:
             ctx_ok, am, lm = _nn_ctx_tables(height, width, n, ctb)
             variants = [np.concatenate(
@@ -573,6 +588,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
         coded-sub-block / sig-flag accounting in scan order.  Returns
         (q raster (n_modes,n,n), tu_bits (n_modes,)).
         """
+        import os as _os
+
         c = size_consts[n]
         N = n * n
         qstep = float(2.0 ** c["qbits"])
@@ -581,7 +598,17 @@ def _build_wavefront2(height: int, width: int, qp: int,
         sig0 = jnp.asarray(c["sig0"])
         sig1 = jnp.asarray(c["sig1"])
         flat = coeff.reshape(n_modes, N)
-        cs = jnp.take_along_axis(flat, sg, axis=1)        # scan order
+        matmul_scan = bool(_os.environ.get("CANP_MATMUL_GATHERS"))
+        if matmul_scan:
+            # Permutation matmul instead of take_along_axis: identical
+            # integers (one term per output), Mosaic-expressible.
+            pmat = jnp.asarray(c["scan_p"], jnp.int32)
+            if pmat.ndim == 2:
+                cs = jnp.einsum("sp,mp->ms", pmat, flat)
+            else:
+                cs = jnp.einsum("msp,mp->ms", pmat, flat)
+        else:
+            cs = jnp.take_along_axis(flat, sg, axis=1)    # scan order
         sign = jnp.sign(cs)
         ldf = jnp.abs(cs).astype(jnp.float32) * float(qscale)
         ma = jnp.minimum(jnp.floor(ldf / qstep + 0.5), 32767.0)
@@ -631,11 +658,19 @@ def _build_wavefront2(height: int, width: int, qp: int,
             jnp.where(sig_paid,
                       jnp.where(lvl > 0, sig1_i, sig0_i), 0), axis=1)
         lvl_mb = jnp.sum(jnp.where(lvl > 0, level_mbits(lvl), 0), axis=1)
-        last_raster = jnp.take_along_axis(
-            sg, jnp.maximum(last, 0)[:, None], axis=1)[:, 0]
         lastx_i = jnp.round(jnp.asarray(c["lastx"]) * MB).astype(jnp.int32)
         lasty_i = jnp.round(jnp.asarray(c["lasty"]) * MB).astype(jnp.int32)
-        lb_mb = lastx_i[last_raster % n] + lasty_i[last_raster // n]
+        if matmul_scan:
+            lsel = (i[None] == jnp.maximum(last, 0)[:, None])
+            last_raster = jnp.sum(jnp.where(lsel, sg, 0), axis=1)
+            lxsel = (jnp.arange(n)[None] == (last_raster % n)[:, None])
+            lysel = (jnp.arange(n)[None] == (last_raster // n)[:, None])
+            lb_mb = (jnp.sum(jnp.where(lxsel, lastx_i[None], 0), axis=1)
+                     + jnp.sum(jnp.where(lysel, lasty_i[None], 0), axis=1))
+        else:
+            last_raster = jnp.take_along_axis(
+                sg, jnp.maximum(last, 0)[:, None], axis=1)[:, 0]
+            lb_mb = lastx_i[last_raster % n] + lasty_i[last_raster // n]
         mb_coded = SBI["cbf1"] + lb_mb + csb_mb + sig_mb + lvl_mb
         bits_coded = mb_coded.astype(jnp.float32) * (1.0 / MB)
         # All-zero option: compare in the coeff-distortion domain, with the
@@ -671,8 +706,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
         lastp = jnp.max(jnp.where(nzr, pos, -1), axis=2)
         span_ok = (lastp - firstp) >= 4
         parity = jnp.sum(lvr, axis=2) & 1
-        sfirst = jnp.take_along_axis(
-            sgr, jnp.clip(firstp, 0, 15)[..., None], axis=2)[..., 0]
+        if matmul_scan:
+            fsel = (pos[None, None] == jnp.clip(firstp, 0, 15)[..., None])
+            sfirst = jnp.sum(jnp.where(fsel, sgr, 0), axis=2)
+        else:
+            sfirst = jnp.take_along_axis(
+                sgr, jnp.clip(firstp, 0, 15)[..., None], axis=2)[..., 0]
         want = (sfirst < 0).astype(jnp.int32)
         mismatch = jnp.logical_and(span_ok, parity != want)
 
@@ -687,9 +726,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
         dn = jnp.where(lvr >= 2, dcost(lvr - 1, lvr), big)
         best_adj = jnp.minimum(up, dn)
         pick = jnp.argmin(best_adj, axis=2)
-        delta = jnp.where(
-            jnp.take_along_axis(up, pick[..., None], 2)[..., 0]
-            <= jnp.take_along_axis(dn, pick[..., None], 2)[..., 0], 1, -1)
+        if matmul_scan:
+            psel = (pos[None, None] == pick[..., None])
+            up_p = jnp.sum(jnp.where(psel, up, 0.0), axis=2)
+            dn_p = jnp.sum(jnp.where(psel, dn, 0.0), axis=2)
+            delta = jnp.where(up_p <= dn_p, 1, -1)
+        else:
+            delta = jnp.where(
+                jnp.take_along_axis(up, pick[..., None], 2)[..., 0]
+                <= jnp.take_along_axis(dn, pick[..., None], 2)[..., 0],
+                1, -1)
         onehot = (pos[None, None] == pick[..., None]).astype(jnp.int32)
         lvr = lvr + jnp.where(mismatch[..., None], onehot * delta[..., None],
                               0)
@@ -700,7 +746,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
             jnp.where(span_ok, 1, 0), axis=1).astype(jnp.float32)
 
         q_scan = sign * lvl
-        q = jnp.take_along_axis(q_scan, inv_sg, axis=1).reshape(n_modes, n, n)
+        if matmul_scan:
+            pmat = jnp.asarray(c["scan_p"], jnp.int32)
+            if pmat.ndim == 2:
+                q = jnp.einsum("sp,ms->mp", pmat, q_scan)
+            else:
+                q = jnp.einsum("msp,ms->mp", pmat, q_scan)
+            q = q.reshape(n_modes, n, n)
+        else:
+            q = jnp.take_along_axis(q_scan, inv_sg,
+                                    axis=1).reshape(n_modes, n, n)
         return q, tu_bits
 
     def step(state, t):

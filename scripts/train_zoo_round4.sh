@@ -17,16 +17,19 @@ BUILD="python scripts/build_training_set.py"
 [ -d artifacts/training_set/luminance_pair/thread_0 ] || \
   $BUILD --pair --output-dir artifacts/training_set/luminance_pair
 
-# w64 single to 60k (round-3 stopped at 30k, checkpoints uncommitted).
+# w64 single to 50k (round-3 stopped at 30k, checkpoints uncommitted; 50k
+# is what this round's wall clock accommodates at ~10.5 it/s on the chip -
+# the 60k target stays open for a follow-up resume, which this chain
+# supports via the snapshot/resume path).
 $TRAIN 64 --arch convolutional \
   --shards artifacts/training_set/luminance \
-  --mean $MEAN --iters 60000 --results-root artifacts/pnn_results --chunk 200
+  --mean $MEAN --iters 50000 --results-root artifacts/pnn_results --chunk 200
 python scripts/freeze_zoo.py && python scripts/quantize_zoo.py
 
-# w64 pair - the zoo's last absent (width, pair) combination.  25k on the
+# w64 pair - the zoo's last absent (width, pair) combination.  10k on the
 # 8-photo corpus (the local pair models saturate early - RESULTS.md).
 $TRAIN 64 --arch convolutional --pair \
   --shards artifacts/training_set/luminance_pair \
-  --mean $MEAN --iters 25000 --results-root artifacts/pnn_results --chunk 200
+  --mean $MEAN --iters 10000 --results-root artifacts/pnn_results --chunk 200
 python scripts/freeze_zoo.py && python scripts/quantize_zoo.py
 echo ROUND4_TRAINING_DONE
