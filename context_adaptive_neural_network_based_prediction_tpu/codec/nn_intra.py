@@ -204,13 +204,22 @@ class PnnPredictor:
             return self._cache[key]
         if len(self._cache) > 4096:
             self._cache.clear()
-        is_fc = self.bundle.is_fully_connected[n]
+        quant = self._quantized
+        # The architecture follows the SELECTED model (QP-dependent pair
+        # selection can flip it: e.g. width-4 single is the reference-
+        # imported conv net, width-4 pair the locally trained FC net); the
+        # quantized dict stores its own kind.
+        if n in quant and "kind" in quant[n]:
+            is_fc = str(np.asarray(quant[n]["kind"])) == "fc"
+        elif n in self._params and isinstance(self._params[n], dict):
+            is_fc = "fully_connected" in self._params[n]
+        else:
+            is_fc = self.bundle.is_fully_connected[n]
         if is_fc:
             inputs = np.concatenate(
                 [above.reshape(1, -1), left.reshape(1, -1)], axis=1)
         else:
             inputs = (above[None, :, :, None], left[None, :, :, None])
-        quant = self._quantized
         if n in quant:
             # Normative deterministic integer forward (models/pnn_q.py).
             from ..models import pnn_q

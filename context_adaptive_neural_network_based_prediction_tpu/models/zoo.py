@@ -75,13 +75,21 @@ def load_frozen_params(path: str):
 
 
 def load_codec_bundle(manifest_path: str, mean_training,
-                      quantized_manifest_path: str = None):
+                      quantized_manifest_path: str = None,
+                      use_pair: bool = True):
     """Three-key manifest (width,is_pair,channel,path — the reference's
     `paths_to_graphs_output/*.txt` format, `tools.h:105-108`) -> PnnBundle.
 
     `quantized_manifest_path` optionally adds the frozen deterministic
     integer models (`models/pnn_q.py`) required by the device wavefront
     encoder; widths present there become the codec's normative forward.
+
+    `use_pair=False` drops the pair entries, disabling the QP>=32 pair
+    selection rule (`TComPrediction.cpp:155-170`) as an encoder/decoder
+    CONFIG (both sides must agree).  The reference default stays True; the
+    local zoo's pair models are trained on 8 photos and measurably lose to
+    the singles they replace (RESULTS.md), so the evaluation scripts pass
+    False for headline numbers.
     """
     from ..cli.export_pnn import parse_manifest
     from ..codec.nn_intra import PnnBundle
@@ -89,9 +97,14 @@ def load_codec_bundle(manifest_path: str, mean_training,
     table = parse_manifest(manifest_path)
     params, pair_params, arch = {}, {}, {}
     for (width, is_pair), path in table.items():
+        if is_pair and not use_pair:
+            continue
         p, is_fc = load_frozen_params(path)
-        arch[width] = is_fc
+        if not is_pair:
+            arch[width] = is_fc
         (pair_params if is_pair else params)[width] = p
+    for width in pair_params:
+        arch.setdefault(width, "fully_connected" in pair_params[width])
     quantized = pair_quantized = None
     if quantized_manifest_path and os.path.isfile(quantized_manifest_path):
         from . import pnn_q
@@ -99,6 +112,8 @@ def load_codec_bundle(manifest_path: str, mean_training,
         quantized, pair_quantized = {}, {}
         for (width, is_pair), path in parse_manifest(
                 quantized_manifest_path).items():
+            if is_pair and not use_pair:
+                continue
             q = pnn_q.load_quantized(path)
             (pair_quantized if is_pair else quantized)[width] = q
         pair_quantized = pair_quantized or None

@@ -446,7 +446,12 @@ def _build_wavefront2(height: int, width: int, qp: int,
             size_consts[n]["nn_lm_c"] = nn_tab[:, 1 + 3 * n:]
             size_consts[n]["nn_cmap"] = nn_cmap
             size_consts[n]["nn_q"] = qmodels[n]
-            size_consts[n]["nn_fc"] = bundle.is_fully_connected[n]
+            # Arch follows the QP-SELECTED quantized model (pair selection
+            # can flip it per width; the frozen dict stores its kind).
+            size_consts[n]["nn_fc"] = (
+                str(np.asarray(qmodels[n]["kind"])) == "fc"
+                if "kind" in qmodels[n]
+                else bundle.is_fully_connected[n])
             size_consts[n]["nn_mean"] = bundle.mean_for(n)
     qscale = transform.QUANT_SCALES[rem]
     iq_scale = transform.INV_QUANT_SCALES[rem]

@@ -64,9 +64,13 @@ def load_bundle():
         ref_mean = float(pickle.load(f, encoding="latin1"))
     means = {4: ref_mean, 8: ref_mean, 16: own_mean, 32: own_mean,
              64: own_mean}
+    # use_pair=False: the locally trained pair models lose to the singles
+    # they replace (8-photo corpus; RESULTS.md), so headline device BD uses
+    # the singles-only config (an encoder/decoder config both sides share).
     return zoo.load_codec_bundle(
         "artifacts/frozen/manifest_trained.txt", means,
-        quantized_manifest_path="artifacts/frozen/manifest_quantized.txt")
+        quantized_manifest_path="artifacts/frozen/manifest_quantized.txt",
+        use_pair=False)
 
 
 def run_points(frame, ver, policy, bundle):
