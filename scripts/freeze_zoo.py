@@ -31,6 +31,7 @@ JOBS = [
     (32, "convolutional", False),
     (32, "convolutional", True),
     (64, "convolutional", False),
+    (64, "convolutional", True),
 ]
 
 
