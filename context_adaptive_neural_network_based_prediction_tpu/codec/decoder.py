@@ -52,6 +52,11 @@ class FrameDecoder:
         self.tskip_on = bool(tskip_on)
         self.ctu = ctu
         self.w, self.h = w, h
+        if pnn is not None and not hasattr(pnn, "bind_qp"):
+            # Accept a raw PnnBundle like the encoders do.
+            from .nn_intra import PnnPredictor
+
+            pnn = PnnPredictor(pnn)
         self.pnn = pnn.bind_qp(qp) if pnn is not None else None
         self.strong_smoothing = strong_intra_smoothing
         self.dec = cabac.CabacDecoder(bitstream[header_size:])
