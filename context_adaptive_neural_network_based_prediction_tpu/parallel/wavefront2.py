@@ -461,6 +461,31 @@ def _build_wavefront2(height: int, width: int, qp: int,
     SB = rate_model.scalar_bits(qp)
     MODE_BITS = rate_model.mode_bits_table(qp)
 
+    # Fused Pallas unit trials (ops/unit_fused.py): one custom call per
+    # sub-stage in place of ~30 launched XLA ops, byte-identical by
+    # construction and asserted by scripts/w2_golden.py across impls.
+    # CANP_FUSED_UNIT: "pallas" (default on TPU), "xla" (inline twin, for
+    # CPU exactness checks), "0"/unset elsewhere = off.
+    import os as _os
+
+    _fu = _os.environ.get("CANP_FUSED_UNIT", "auto")
+    if _fu == "auto":
+        fused_impl = "pallas" if jax.default_backend() == "tpu" else None
+    else:
+        fused_impl = _fu if _fu in ("xla", "pallas") else None
+    if fused_impl is not None:
+        from ..ops import unit_fused
+        for n in (4, 8):
+            if policy == "substitution" and n in nn_widths:
+                nnpol = "sub18"
+            elif n_modes == 36:
+                nnpol = "append"
+            else:
+                nnpol = None
+            size_consts[n]["fused"] = unit_fused.build_consts(
+                n, n_modes, size_consts[n], SB, lam, qscale, iq_scale,
+                b_eff, nn_policy=nnpol)
+
     def filter_refs(n, ref_top, ref_left):
         corner = ref_top[0]
         top = ref_top[1:]
@@ -561,13 +586,18 @@ def _build_wavefront2(height: int, width: int, qp: int,
         """Micro-bit (int32) cost of a nonzero level (sign included).
 
         greater1/greater2 flags + the HM Golomb-Rice escape at rice 0
-        (syntax._ic_rate structure with c1/c2 available, EG0 tail)."""
+        (syntax._ic_rate structure with c1/c2 available, EG0 tail).
+
+        The Golomb tail's floor(log2) is computed by integer compares, not
+        float log2: exhaustively equal over the whole level range, and it
+        keeps the fused Pallas twin (ops/unit_fused.py) bit-identical
+        without depending on two libm implementations agreeing."""
         s = lvl - 3
-        lf = jnp.maximum(s, 1).astype(jnp.float32)
-        golomb = jnp.where(
-            s < 3, s + 1,
-            4 + 2 * jnp.floor(
-                jnp.log2(jnp.maximum(lf - 2.0, 1.0))).astype(jnp.int32))
+        m = jnp.maximum(s - 2, 1)
+        g = jnp.zeros_like(lvl)
+        for j in range(1, 16):
+            g = g + jnp.where(m >= (1 << j), 1, 0)
+        golomb = jnp.where(s < 3, s + 1, 4 + 2 * g)
         mb = jnp.int32(round(MB)) + jnp.where(
             lvl == 1, SBI["g1_0"],
             jnp.where(lvl == 2, SBI["g1_1"] + SBI["g2_0"],
@@ -898,6 +928,21 @@ def _build_wavefront2(height: int, width: int, qp: int,
             leading slot axis.  cost = SSE + lambda * (mode + calibrated TU
             bits), excluding structure flags (added per tree option)."""
             c = size_consts[n]
+            if "fused" in c:
+                from ..ops import unit_fused
+                ref_top, ref_left = refs_for_b(n, recon_now, ly, lx)
+                nn_pred = None
+                if n in nn_widths and policy != "regular":
+                    nn_pred = nn_predict_b(n, recon_now, ly, lx)
+                elif n_modes == 36:
+                    nn_pred = jnp.zeros((b_eff, n, n), jnp.int32)
+                orig = jax.lax.dynamic_slice(
+                    frame_sk, (by0 * NF, ly, t_loc * ctb + lx + OFF),
+                    (b_eff, n, n))
+                mbits = mode_bits_b(n, mode8_now, ly, lx)
+                return unit_fused.trial_apply(
+                    c["fused"], ref_top, ref_left, orig, mbits, nn_pred,
+                    impl=fused_impl)
             ref_top, ref_left = refs_for_b(n, recon_now, ly, lx)
             f_top, f_left = jax.vmap(
                 lambda a, b: filter_refs(n, a, b))(ref_top, ref_left)
