@@ -168,13 +168,21 @@ def _kron_mats(n, t_fwd, t_inv, pp):
 
 
 def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
-                 nn_policy=None):
+                 nn_policy=None, groups=1):
     """Pack the fused-trial constants for size n.
 
     `c` is the wavefront2 per-size consts dict (g0/g1/frac/use_filt/
     t_fwd/t_inv/shift1/shift2/qbits/iq_shift/err_scale/sig0/sig1/
     lastx/lasty/sg/inv_sg), `SB` the scalar-bits dict.  `nn_policy` in
     {None, "sub18", "append"} controls where a PNN prediction is inserted.
+
+    `groups` > 1 enables the mode-group GRID decomposition for the big
+    sizes (16/32): the pallas kernel iterates over groups of
+    36/groups mode blocks with a running argmin in scratch, bounding the
+    VMEM footprint of the (n^2, modes*B) intermediates.  Requires a
+    mode-independent scan (true for n > 8: HEVC uses the diagonal scan
+    only, TComTrQuant::getCoefScanIdx), so the rate tables collapse to
+    one (n^2, B) block shared by every group.
     """
     nn_px = n * n
     B = _round_up(max(b_eff, 1), 128)
@@ -200,6 +208,22 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
 
     F = np.zeros((Rp, Rp), np.float32)
     F[:R, :R] = _filter_matrix(n)
+    # Strong (bilinear) intra smoothing, normative at 32x32
+    # (TComPattern.cpp:415-470): linear ramps corner<->TR / corner<->BL,
+    # selected per slot by the near-linearity test computed in-kernel.
+    Fs = np.zeros((8, 8), np.float32)
+    if n == 32:
+        Fs = np.zeros((Rp, Rp), np.float32)
+        TOPs, LEFTs = 0, 2 * n + 1
+        Fs[TOPs + 0, TOPs + 0] = 64
+        Fs[TOPs + 2 * n, TOPs + 2 * n] = 64
+        Fs[LEFTs + 0, TOPs + 0] = 64
+        Fs[LEFTs + 2 * n, LEFTs + 2 * n] = 64
+        for i in range(1, 2 * n):
+            Fs[TOPs + i, TOPs + 0] = 2 * n - i
+            Fs[TOPs + i, TOPs + 2 * n] = i
+            Fs[LEFTs + i, TOPs + 0] = 2 * n - i
+            Fs[LEFTs + i, LEFTs + 2 * n] = i
 
     # DC / edge-fixup selection rows (operate on comb2).
     TOP, LEFT = 0, 2 * n + 1
@@ -226,6 +250,13 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
 
     f1, f2, i1, i2 = _kron_mats(n, np.asarray(c["t_fwd"]),
                                 np.asarray(c["t_inv"]), pp)
+    # The HEVC forward matrices are 2^14-scaled (FWD_MATRIX_SHIFT=14,
+    # entries to +-23170): too wide for exact f32/bf16 matmuls.  Split
+    # T = 256*Th + Tl (Th in [-91, 91], Tl in [0, 255], both bf16-exact);
+    # the kernel recombines the two exact products in int32.  The inverse
+    # matrices are 8-bit (<= 90) and stay whole.
+    f1h, f1l = f1 >> 8, f1 & 255
+    f2h, f2l = f2 >> 8, f2 & 255
 
     # Rate tables in p'-raster domain, expanded to the (nn, M*B) lane
     # layout (value constant across the slot block).
@@ -251,7 +282,15 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
         lastpb[i, 0] = (int(np.round(lastx[x] * MB))
                         + int(np.round(lasty[y] * MB)))
 
+    mg = M_PAD // groups
+    assert mg * groups == M_PAD, "groups must divide 36"
+    if groups > 1:
+        assert np.all(scanpos == scanpos[:, :1]), \
+            "mode-group grid needs a mode-independent scan (n > 8)"
+
     def expand(t):
+        if groups > 1:
+            return np.repeat(t[:, :1], B, axis=1)
         return np.repeat(t, B, axis=1)
 
     mode_valid = np.zeros((1, M_PAD), np.float32)
@@ -260,15 +299,19 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
     return dict(
         n=n, nn=nn_px, B=B, L=L, Rp=Rp, RRp=RRp, R=R, ipp=ipp,
         n_modes=n_modes, nn_policy=nn_policy, pp=pp,
-        P2=P2, F=F, dcw=dcw, selT=selT, selL=selL,
+        P2=P2, F=F, Fs=Fs, strong=(n == 32), dcw=dcw, selT=selT,
+        selL=selL,
         adj26=adj26, adj10=adj10,
         y0=np.repeat(y0, B, axis=1), x0=np.repeat(x0, B, axis=1),
-        f1=f1.astype(np.float32), f2=f2.astype(np.float32),
+        f1h=f1h.astype(np.float32), f1l=f1l.astype(np.float32),
+        f2h=f2h.astype(np.float32), f2l=f2l.astype(np.float32),
         i1=i1.astype(np.float32), i2=i2.astype(np.float32),
         sig0e=expand(sig0r), sig1e=expand(sig1r),
         scanpos_e=expand(scanpos),
-        lastpb_e=np.repeat(lastpb, L, axis=1).astype(np.int32),
-        mode_big=expand(mode_valid),
+        lastpb_e=np.repeat(lastpb, B if groups > 1 else L,
+                           axis=1).astype(np.int32),
+        mode_big=np.repeat(mode_valid, B, axis=1),
+        groups=groups, mg=mg, tab_compact=groups > 1,
         shift1=int(c["shift1"]), shift2=int(c["shift2"]),
         qbits=int(c["qbits"]), iq_shift=int(c["iq_shift"]),
         err_scale=float(c["err_scale"]),
@@ -278,24 +321,43 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
     )
 
 
-def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
-    """The fused trial on (n^2, M*B)-layout values; Mosaic-legal jnp only.
+def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
+                  gsel=None):
+    """Core of the fused trial on (n^2, Mloc*B)-layout values.
 
-    comb (Rp, B) f32 raw [ref_top | ref_left] columns per slot;
-    orig_p (nn, B) i32 source block in p' order; mode_row (8, L) f32 mode
-    bits (row 0, m-major); nn_pred_p (nn, B) i32 PNN prediction (zeros when
-    unused).  Returns (cost (8,B) f32 row0, best (8,B) i32 row0,
-    rec (nn,B) i32, q (nn,B) i32).
+    Processes all M_PAD mode blocks when `gsel` is None, or ONE mode group
+    of cst["mg"] blocks when `gsel` is the (traced or static) group index
+    (the table inputs then carry that group's slices).  Returns
+    (cost_row (1, Mloc*B) f32, rec (nn, Mloc*B) i32, q (nn, Mloc*B) i32).
     """
     import jax.numpy as jnp
 
     n = cst["n"]; nn = cst["nn"]; B = cst["B"]
+    mg = cst["mg"] if gsel is not None else M_PAD
+
+    def put_block(blocks, t, newblk):
+        """Place mode-t's block, honouring the group decomposition."""
+        if gsel is None:
+            blocks[t] = newblk
+            return
+        gt, jt = divmod(t, mg)
+        if isinstance(gsel, int):
+            if gsel == gt:
+                blocks[jt] = newblk
+        else:
+            blocks[jt] = jnp.where(gsel == gt, newblk, blocks[jt])
     lam = cst["lam"]; SB = cst["SB"]
     MBf = 256.0
     f32 = jnp.float32
 
     def fdot(a, b):
         import jax
+        if a.dtype == jnp.bfloat16:
+            # Exact: matrix entries <= 90 and operand values <= 255 in
+            # magnitude (the hi/lo discipline guarantees it), so both
+            # sides are bf16-representable and the f32 accumulation is
+            # exact -- same integers as the int einsum, half the VMEM.
+            b = b.astype(jnp.bfloat16)
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -306,6 +368,17 @@ def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
 
     # ---- references: filter + 35-mode prediction as matmuls ----
     combf = floordiv2(fdot(tabs["F"], comb) + 2.0, 2)
+    if cst.get("strong"):
+        LEFT = 2 * n + 1
+        c0 = comb[0:1]
+        tr = comb[2 * n:2 * n + 1]
+        tn = comb[n:n + 1]
+        bl = comb[LEFT + 2 * n:LEFT + 2 * n + 1]
+        ln_ = comb[LEFT + n:LEFT + n + 1]
+        cond = jnp.logical_and(jnp.abs(bl + c0 - 2.0 * ln_) < 8.0,
+                               jnp.abs(c0 + tr - 2.0 * tn) < 8.0)
+        combs = floordiv2(fdot(tabs["Fs"], comb) + 32.0, 6)
+        combf = jnp.where(cond, combs, combf)
     ones = jnp.ones((cst["RRp"] - 2 * cst["Rp"], B), f32)
     comb2 = jnp.concatenate([comb, combf, ones], axis=0)
     predsA = floordiv2(fdot(tabs["P2"], comb2), 6)
@@ -325,42 +398,64 @@ def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
                                       jnp.where(x0 > 0.5, e_left, dcb)))
     else:
         dcplane = dcb
-    blocks = [predsA[m * nn:(m + 1) * nn] for m in range(M_PAD)]
-    blocks[1] = dcplane
+    blocks = [predsA[m * nn:(m + 1) * nn] for m in range(mg)]
+
+    def blk_of(t):
+        if gsel is None:
+            return blocks[t]
+        return blocks[t % mg]
+
+    put_block(blocks, 1, dcplane)
     if n <= 16:
         a26 = floordiv2(fdot(tabs["adj26"], comb2), 1)
-        blocks[26] = jnp.where(
-            x0 > 0.5, jnp.clip(blocks[26] + a26, 0.0, 255.0), blocks[26])
+        put_block(blocks, 26, jnp.where(
+            x0 > 0.5, jnp.clip(blk_of(26) + a26, 0.0, 255.0), blk_of(26)))
         a10 = floordiv2(fdot(tabs["adj10"], comb2), 1)
-        blocks[10] = jnp.where(
-            y0 > 0.5, jnp.clip(blocks[10] + a10, 0.0, 255.0), blocks[10])
+        put_block(blocks, 10, jnp.where(
+            y0 > 0.5, jnp.clip(blk_of(10) + a10, 0.0, 255.0), blk_of(10)))
     nn_f = nn_pred_p.astype(f32)
     if cst["nn_policy"] == "sub18":
-        blocks[18] = nn_f
+        put_block(blocks, 18, nn_f)
     elif cst["nn_policy"] == "append":
-        blocks[35] = nn_f
-    preds = jnp.concatenate(blocks, axis=1)              # (nn, L) f32
+        put_block(blocks, 35, nn_f)
+    preds = jnp.concatenate(blocks, axis=1)              # (nn, mg*B) f32
 
     orig_f = orig_p.astype(f32)
-    orig_rep = jnp.concatenate([orig_f] * M_PAD, axis=1)
+    orig_rep = jnp.concatenate([orig_f] * mg, axis=1)
     resi = orig_rep - preds
 
-    # ---- forward transform (hi/lo split exactly as the XLA path) ----
-    add1 = f32(1 << (cst["shift1"] - 1))
-    a = floordiv2(fdot(tabs["f1"], resi) + add1, cst["shift1"])
-    hi = floordiv2(a, 8)
-    lo = a - 256.0 * hi
-    hs = fdot(tabs["f2"], hi)
-    ls = fdot(tabs["f2"], lo)
-    add2 = f32(1 << (cst["shift2"] - 1))
-    coeff = floordiv2(hs + floordiv2(ls + add2, 8), cst["shift2"] - 8)
+    # ---- forward transform, exact int32 via split matrices (the
+    # operand ranges stay <= 255/180 so every partial matmul is f32-exact;
+    # recombination and shifts happen in int32, matching the XLA int
+    # einsum bit-for-bit) ----
+    def tdot(kh, kl, x):
+        return (256 * fdot(tabs[kh], x).astype(jnp.int32)
+                + fdot(tabs[kl], x).astype(jnp.int32))
+
+    add1 = jnp.int32(1 << (cst["shift1"] - 1))
+    a_i = (tdot("f1h", "f1l", resi) + add1) >> cst["shift1"]
+    hi = (a_i >> 8).astype(f32)
+    lo = (a_i & 255).astype(f32)
+    hs = tdot("f2h", "f2l", hi)
+    ls = tdot("f2h", "f2l", lo)
+    add2 = jnp.int32(1 << (cst["shift2"] - 1))
+    coeff = ((hs + ((ls + add2) >> 8))
+             >> (cst["shift2"] - 8)).astype(f32)
 
     # ---- RDOQ-lite (raster domain; transcribed from wavefront2) ----
     qstep = float(2.0 ** cst["qbits"])
     err_scale = f32(cst["err_scale"])
-    sig0 = tabs["sig0e"]
-    sig1 = tabs["sig1e"]
-    scanpos = tabs["scanpos_e"]
+    if cst.get("tab_compact"):
+        tile = lambda t: jnp.concatenate([t] * mg, axis=1)
+        sig0 = tile(tabs["sig0e"])
+        sig1 = tile(tabs["sig1e"])
+        scanpos = tile(tabs["scanpos_e"])
+        lastpb = tile(tabs["lastpb_e"])
+    else:
+        sig0 = tabs["sig0e"]
+        sig1 = tabs["sig1e"]
+        scanpos = tabs["scanpos_e"]
+        lastpb = tabs["lastpb_e"]
     sign = jnp.sign(coeff)
     ldf = jnp.abs(coeff) * f32(cst["qscale"])
     ma = jnp.minimum(jnp.floor(ldf * f32(1.0 / qstep) + 0.5), 32767.0)
@@ -436,7 +531,7 @@ def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
                      axis=0, keepdims=True)
     rsel = scanpos == jnp.broadcast_to(jnp.maximum(last, 0),
                                        (nn, preds.shape[1]))
-    lb_mb = jnp.sum(jnp.where(rsel, tabs["lastpb_e"], 0),
+    lb_mb = jnp.sum(jnp.where(rsel, lastpb, 0),
                     axis=0, keepdims=True)
     mb_coded = sbi("cbf1") + lb_mb + csb_mb + sig_mb + lvl_mb
     bits_coded = mb_coded.astype(f32) * f32(1.0 / MBf)
@@ -530,66 +625,197 @@ def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
     cost = (sse.astype(f32)
             + f32(lam) * (tu_bits + mode_row[0:1, :])
             + tabs["mode_big"])
+    return cost, rec, q
 
-    # ---- argmin over mode blocks (first-minimum tie-break, as argmin) ----
-    minv = cost[:, 0:B]
-    best = jnp.zeros((1, B), jnp.int32)
-    for m in range(1, M_PAD):
-        cm = cost[:, m * B:(m + 1) * B]
+
+def _argmin_blocks(cst, cost, rec, q, m_cnt, m_offset, carry=None):
+    """Running first-minimum argmin over mode blocks (strict <, ascending
+    global mode ids == jnp.argmin tie-break).  `carry` continues a previous
+    group's (minv, best, rec_b, q_b)."""
+    import jax.numpy as jnp
+
+    nn, B = cst["nn"], cst["B"]
+    if carry is None:
+        minv = cost[:, 0:B]
+        best = jnp.zeros((1, B), jnp.int32) + m_offset * 1
+        rec_b = rec[:, 0:B]
+        q_b = q[:, 0:B]
+        start = 1
+    else:
+        minv, best, rec_b, q_b = carry
+        start = 0
+    for j in range(start, m_cnt):
+        cm = cost[:, j * B:(j + 1) * B]
         better = cm < minv
-        best = jnp.where(better, m, best)
+        best = jnp.where(better, m_offset + j, best)
         minv = jnp.where(better, cm, minv)
-    rec_b = jnp.zeros((nn, B), jnp.int32)
-    q_b = jnp.zeros((nn, B), jnp.int32)
-    for m in range(M_PAD):
-        mk = jnp.broadcast_to(best == m, (nn, B))
-        rec_b = jnp.where(mk, rec[:, m * B:(m + 1) * B], rec_b)
-        q_b = jnp.where(mk, q[:, m * B:(m + 1) * B], q_b)
+        mk = jnp.broadcast_to(better, (nn, B))
+        rec_b = jnp.where(mk, rec[:, j * B:(j + 1) * B], rec_b)
+        q_b = jnp.where(mk, q[:, j * B:(j + 1) * B], q_b)
+    return minv, best, rec_b, q_b
+
+
+def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
+    """Single-block fused trial: blocks core + argmin/select, padded rows.
+
+    Returns (cost (8,B) f32 row0, best (8,B) i32 row0, rec (nn,B) i32,
+    q (nn,B) i32), bit-identical to the unfused XLA trial."""
+    import jax.numpy as jnp
+
+    B = cst["B"]
+    cost, rec, q = _trial_blocks(cst, tabs, comb, orig_p, mode_row,
+                                 nn_pred_p)
+    minv, best, rec_b, q_b = _argmin_blocks(cst, cost, rec, q, M_PAD, 0)
     pad8 = jnp.zeros((7, B), jnp.float32)
     cost_out = jnp.concatenate([minv, pad8], axis=0)
     best_out = jnp.concatenate([best, pad8.astype(jnp.int32)], axis=0)
     return cost_out, best_out, rec_b, q_b
 
 
-_TAB_KEYS = ("F", "P2", "dcw", "selT", "selL", "adj26", "adj10", "y0",
-             "x0", "f1", "f2", "i1", "i2", "sig0e", "sig1e", "scanpos_e",
-             "lastpb_e", "mode_big")
+_TAB_KEYS = ("F", "Fs", "P2", "dcw", "selT", "selL", "adj26", "adj10",
+             "y0", "x0", "f1h", "f1l", "f2h", "f2l", "i1", "i2", "sig0e",
+             "sig1e", "scanpos_e", "lastpb_e", "mode_big")
+_KRON_KEYS = ("f1h", "f1l", "f2h", "f2l", "i1", "i2")
+
+
+def _load_tab(cst, k):
+    import jax.numpy as jnp
+
+    v = jnp.asarray(cst[k])
+    if k in _KRON_KEYS and cst.get("groups", 1) > 1:
+        v = v.astype(jnp.bfloat16)
+    return v
 
 
 def _pallas_run(cst):
-    """One pallas_call fusing the whole trial; built once per consts."""
+    """One pallas_call fusing the whole trial; built once per consts.
+
+    groups == 1: a single whole-array invocation.  groups > 1: a
+    sequential grid over mode groups; each step runs _trial_blocks on its
+    group's table slices and folds the result into a running argmin held
+    in VMEM scratch (TPU grids are sequential, so the strict-< ascending
+    update preserves jnp.argmin's first-minimum tie-break exactly); the
+    last step writes the outputs.
+    """
     run = cst.get("_pcall")
     if run is not None:
         return run
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     nn, B, L = cst["nn"], cst["B"], cst["L"]
+    G, mg = cst["groups"], cst["mg"]
     n_tab = len(_TAB_KEYS)
-
-    def kernel(*refs):
-        tabs = {k: refs[i][...] for i, k in enumerate(_TAB_KEYS)}
-        comb = refs[n_tab][...]
-        orig_p = refs[n_tab + 1][...]
-        mode_row = refs[n_tab + 2][...]
-        nn_pred = refs[n_tab + 3][...]
-        cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
-                                              mode_row, nn_pred)
-        refs[n_tab + 4][...] = cost
-        refs[n_tab + 5][...] = best
-        refs[n_tab + 6][...] = rec
-        refs[n_tab + 7][...] = q
-
     out_shape = [
         jax.ShapeDtypeStruct((8, B), jnp.float32),
         jax.ShapeDtypeStruct((8, B), jnp.int32),
         jax.ShapeDtypeStruct((nn, B), jnp.int32),
         jax.ShapeDtypeStruct((nn, B), jnp.int32),
     ]
-    tables = [jnp.asarray(cst[k]) for k in _TAB_KEYS]
+    tables = [_load_tab(cst, k) for k in _TAB_KEYS]
     interpret = jax.default_backend() != "tpu"
-    call = pl.pallas_call(kernel, out_shape=out_shape, interpret=interpret)
+
+    if G == 1:
+        def kernel(*refs):
+            tabs = {k: refs[i][...] for i, k in enumerate(_TAB_KEYS)}
+            comb = refs[n_tab][...]
+            orig_p = refs[n_tab + 1][...]
+            mode_row = refs[n_tab + 2][...]
+            nn_pred = refs[n_tab + 3][...]
+            cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
+                                                  mode_row, nn_pred)
+            refs[n_tab + 4][...] = cost
+            refs[n_tab + 5][...] = best
+            refs[n_tab + 6][...] = rec
+            refs[n_tab + 7][...] = q
+
+        call = pl.pallas_call(kernel, out_shape=out_shape,
+                              interpret=interpret)
+
+        def run(comb, orig_p, mode_row, nn_pred):
+            return call(*tables, comb, orig_p, mode_row, nn_pred)
+
+        cst["_pcall"] = run
+        return run
+
+    def gkernel(*refs):
+        g = pl.program_id(0)
+        tabs = {k: refs[i][...] for i, k in enumerate(_TAB_KEYS)}
+        comb = refs[n_tab][...]
+        orig_p = refs[n_tab + 1][...]
+        mode_row = refs[n_tab + 2][...]
+        nn_pred = refs[n_tab + 3][...]
+        o_cost, o_best, o_rec, o_q = refs[n_tab + 4:n_tab + 8]
+        s_min, s_best, s_rec, s_q = refs[n_tab + 8:n_tab + 12]
+        cost, rec, q = _trial_blocks(cst, tabs, comb, orig_p, mode_row,
+                                     nn_pred, gsel=g)
+
+        @pl.when(g == 0)
+        def _init():
+            m0, b0, r0, q0 = _argmin_blocks(cst, cost, rec, q, mg, 0)
+            s_min[0:1, :] = m0
+            s_best[0:1, :] = b0
+            s_rec[...] = r0
+            s_q[...] = q0
+
+        @pl.when(g > 0)
+        def _fold():
+            carry = (s_min[0:1, :], s_best[0:1, :], s_rec[...], s_q[...])
+            m1, b1, r1, q1 = _argmin_blocks(cst, cost, rec, q, mg, g * mg,
+                                            carry=carry)
+            s_min[0:1, :] = m1
+            s_best[0:1, :] = b1
+            s_rec[...] = r1
+            s_q[...] = q1
+
+        @pl.when(g == G - 1)
+        def _emit():
+            zero7f = jnp.zeros((7, B), jnp.float32)
+            o_cost[...] = jnp.concatenate([s_min[0:1, :], zero7f], axis=0)
+            o_best[...] = jnp.concatenate(
+                [s_best[0:1, :], zero7f.astype(jnp.int32)], axis=0)
+            o_rec[...] = s_rec[...]
+            o_q[...] = s_q[...]
+
+    def spec(k):
+        if k == "P2":
+            return pl.BlockSpec((mg * nn, cst["RRp"]), lambda g: (g, 0))
+        if k == "mode_big":
+            return pl.BlockSpec((1, mg * B), lambda g: (0, g))
+        shp = cst[k].shape
+        return pl.BlockSpec(shp, lambda g: (0,) * len(shp))
+
+    in_specs = [spec(k) for k in _TAB_KEYS] + [
+        pl.BlockSpec((cst["Rp"], B), lambda g: (0, 0)),
+        pl.BlockSpec((nn, B), lambda g: (0, 0)),
+        pl.BlockSpec((8, mg * B), lambda g: (0, g)),
+        pl.BlockSpec((nn, B), lambda g: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((8, B), lambda g: (0, 0)),
+        pl.BlockSpec((8, B), lambda g: (0, 0)),
+        pl.BlockSpec((nn, B), lambda g: (0, 0)),
+        pl.BlockSpec((nn, B), lambda g: (0, 0)),
+    ]
+    params = {}
+    if nn >= 1024:
+        # The 32x32 kernel's six bf16 (n^2, n^2) transform matrices plus
+        # working set need ~21 MB; raise the scoped-vmem ceiling past the
+        # compiler's 16 MB default (v5e has headroom above it).
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
+    call = pl.pallas_call(
+        gkernel, grid=(G,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((8, B), jnp.int32),
+            pltpu.VMEM((nn, B), jnp.int32),
+            pltpu.VMEM((nn, B), jnp.int32),
+        ],
+        interpret=interpret, **params)
 
     def run(comb, orig_p, mode_row, nn_pred):
         return call(*tables, comb, orig_p, mode_row, nn_pred)
@@ -626,9 +852,28 @@ def trial_apply(cst, ref_top, ref_left, orig, mode_bits, nn_pred=None,
                  ((0, B - b), (0, M_PAD - mode_bits.shape[1])))
     mode_row = jnp.pad(jnp.reshape(mb.T, (1, L)), ((0, 7), (0, 0)))
     if impl == "xla":
-        tabs = {k: jnp.asarray(cst[k]) for k in _TAB_KEYS}
-        cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
-                                              mode_row, nnp)
+        tabs = {k: _load_tab(cst, k) for k in _TAB_KEYS}
+        if cst["groups"] == 1:
+            cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
+                                                  mode_row, nnp)
+        else:
+            mg = cst["mg"]
+            carry = None
+            for g in range(cst["groups"]):
+                gt = dict(tabs)
+                gt["P2"] = tabs["P2"][g * mg * nn:(g + 1) * mg * nn]
+                gt["mode_big"] = tabs["mode_big"][:, g * mg * B:
+                                                  (g + 1) * mg * B]
+                mrow = mode_row[:, g * mg * B:(g + 1) * mg * B]
+                c_r, r_r, q_r = _trial_blocks(cst, gt, comb, orig_p, mrow,
+                                              nnp, gsel=g)
+                carry = _argmin_blocks(cst, c_r, r_r, q_r, mg, g * mg,
+                                       carry=carry)
+            minv, bestv, rec_b0, q_b0 = carry
+            pad8 = jnp.zeros((7, B), jnp.float32)
+            cost = jnp.concatenate([minv, pad8], axis=0)
+            best = jnp.concatenate([bestv, pad8.astype(jnp.int32)], axis=0)
+            rec, q = rec_b0, q_b0
     else:
         cost, best, rec, q = _pallas_run(cst)(comb, orig_p, mode_row, nnp)
     ipp = jnp.asarray(cst["ipp"])

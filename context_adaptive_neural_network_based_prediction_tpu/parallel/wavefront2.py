@@ -475,7 +475,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
         fused_impl = _fu if _fu in ("xla", "pallas") else None
     if fused_impl is not None:
         from ..ops import unit_fused
-        for n in (4, 8):
+        for n, grp in ((4, 1), (8, 1), (16, 6), (32, 36)):
             if policy == "substitution" and n in nn_widths:
                 nnpol = "sub18"
             elif n_modes == 36:
@@ -484,7 +484,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 nnpol = None
             size_consts[n]["fused"] = unit_fused.build_consts(
                 n, n_modes, size_consts[n], SB, lam, qscale, iq_scale,
-                b_eff, nn_policy=nnpol)
+                b_eff, nn_policy=nnpol, groups=grp)
 
     def filter_refs(n, ref_top, ref_left):
         corner = ref_top[0]

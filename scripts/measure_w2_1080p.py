@@ -67,14 +67,23 @@ def main():
                                                   bundle, ctb, nxn,
                                                   n_frames=batch)
         arg = jnp.asarray(np.stack([frame] * batch))
-    out = jax.block_until_ready(run(arg))
+    def materialize(out):
+        # np.asarray of the reconstruction, not block_until_ready: the
+        # axon backend's readiness signal can return before results exist
+        # for repeated dispatches (observed as a bogus 31011 fps).  The
+        # recon depends on every wavefront step, so pulling its 2 MB back
+        # forces the full computation without billing the ys transfer
+        # (which encode_stream overlaps with compute in production).
+        np.asarray(out[0])
+
+    materialize(run(arg))
     compile_s = time.time() - t0
     print(f"{policy} ctb{ctb} b={batch} nxn={nxn} {h}x{w}: "
           f"compile+first {compile_s:.1f}s", flush=True)
     times = []
     for _ in range(3):
         t0 = time.time()
-        out = jax.block_until_ready(run(arg))
+        materialize(run(arg))
         times.append(time.time() - t0)
     dt = min(times)
     fps = batch / dt

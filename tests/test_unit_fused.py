@@ -81,6 +81,24 @@ def ref_trial(c, SB, lam, qscale, iq_scale, n, n_modes,
         f_left_vals = (ext_l[:-2] + 2 * ext_l[1:-1] + ext_l[2:] + 2) >> 2
         f_left = jnp.concatenate([f_top[:1], f_left_vals[1:2 * n],
                                   left[2 * n - 1:]])
+        if n == 32:
+            thr = 1 << 3
+            bl = left[2 * n - 1]
+            tr = top[2 * n - 1]
+            cond = jnp.logical_and(
+                jnp.abs(bl + corner - 2 * left[n - 1]) < thr,
+                jnp.abs(corner + tr - 2 * top[n - 1]) < thr)
+            i = jnp.arange(1, 2 * n)
+            s_top = jnp.concatenate([
+                corner[None],
+                ((2 * n - i) * corner + i * tr + n) >> 6,
+                tr[None]])
+            s_left = jnp.concatenate([
+                corner[None],
+                ((2 * n - i) * corner + i * bl + n) >> 6,
+                bl[None]])
+            f_top = jnp.where(cond, s_top, f_top)
+            f_left = jnp.where(cond, s_left, f_left)
         return f_top, f_left
 
     def predict35(ref_top, ref_left):
@@ -316,6 +334,8 @@ CASES = [
     (4, 35, None, 27), (4, 35, None, 37), (4, 36, "append", 32),
     (8, 35, None, 27), (8, 35, None, 42), (8, 36, "append", 37),
     (8, 35, "sub18", 32),
+    (16, 35, None, 32), (16, 36, "append", 37), (16, 35, "sub18", 27),
+    (32, 35, None, 32), (32, 36, "append", 37),
 ]
 
 
@@ -330,7 +350,8 @@ def test_fused_matches_reference(n, n_modes, policy, qp):
     iq_scale = transform.INV_QUANT_SCALES[rem]
     nn_mode = policy if policy in ("sub18", "append") else None
     cst = unit_fused.build_consts(n, n_modes, c, SB, lam, qscale, iq_scale,
-                                  b_eff=9, nn_policy=nn_mode)
+                                  b_eff=9, nn_policy=nn_mode,
+                                  groups={16: 6, 32: 36}.get(n, 1))
     for trial in range(3):
         rt, rl, og, mb, nnp = _rand_inputs(rng, n, n_modes, 9)
         nn_arg = jnp.asarray(nnp) if nn_mode else None
@@ -374,3 +395,38 @@ def test_pallas_interpret_matches_xla():
                                impl="pallas")
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+def test_fused_extreme_residuals(n):
+    """Worst-case transform magnitudes (flat 255 resi + alternating sign):
+    exercises the f32-exactness boundary of the forward matmuls, which
+    random inputs rarely reach (the 2^14-scaled HEVC fwd matrices overflow
+    f32's 2^24 integer window unless hi/lo-split)."""
+    qp, n_modes = 22, 35
+    c = make_size_consts(n, qp, n_modes)
+    SB = rate_model.scalar_bits(qp)
+    lam = rdo.lambda_for_qp(qp)
+    qscale = transform.QUANT_SCALES[qp % 6]
+    iq_scale = transform.INV_QUANT_SCALES[qp % 6]
+    cst = unit_fused.build_consts(n, n_modes, c, SB, lam, qscale, iq_scale,
+                                  b_eff=4, nn_policy=None,
+                                  groups={16: 6, 32: 36}.get(n, 1))
+    rt = np.zeros((4, 2 * n + 1), np.int32)
+    rl = np.zeros((4, 2 * n + 1), np.int32)
+    og = np.zeros((4, n, n), np.int32)
+    og[0] = 255                                   # flat max resi vs 0-refs
+    yy, xx = np.mgrid[0:n, 0:n]
+    og[1] = 255 * ((yy + xx) % 2)                 # checkerboard
+    og[2] = 255 * (xx % 2)
+    rt[3], rl[3], og[3] = 255, 255, 0
+    mb = np.full((4, n_modes), 2.0, np.float32)
+    got = unit_fused.trial_apply(cst, jnp.asarray(rt), jnp.asarray(rl),
+                                 jnp.asarray(og), jnp.asarray(mb), None,
+                                 impl="xla")
+    want = ref_trial(c, SB, lam, qscale, iq_scale, n, n_modes,
+                     jnp.asarray(rt), jnp.asarray(rl), jnp.asarray(og),
+                     jnp.asarray(mb), jnp.asarray(og), "none")
+    for i, name in ((1, "best"), (2, "rec"), (3, "q")):
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want[i]), err_msg=name)
