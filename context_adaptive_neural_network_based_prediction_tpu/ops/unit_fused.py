@@ -322,13 +322,23 @@ def build_consts(n, n_modes, c, SB, lam, qscale, iq_scale, b_eff,
 
 
 def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
-                  gsel=None):
+                  gsel=None, rate_rows=None):
     """Core of the fused trial on (n^2, Mloc*B)-layout values.
 
     Processes all M_PAD mode blocks when `gsel` is None, or ONE mode group
     of cst["mg"] blocks when `gsel` is the (traced or static) group index
     (the table inputs then carry that group's slices).  Returns
-    (cost_row (1, Mloc*B) f32, rec (nn, Mloc*B) i32, q (nn, Mloc*B) i32).
+    (cost_row (1, Mloc*B) f32, rec (nn, Mloc*B) i32, q (nn, Mloc*B) i32,
+    counts (8, Mloc*B) i32).
+
+    `rate_rows` (8, B) i32 carries the live rate-state micro-bit DELTAS
+    (rows: dsig0, dsig1, dg1_0, dg1_1, dg2_0, dg2_1, dcbf0, dcbf1) applied
+    ADDITIVELY to the static tables - all-zero deltas reproduce the static
+    encoder bit-for-bit, so the plumbing is always on and the WPP-style
+    evolution (wavefront2 rate_evolve) just feeds nonzero rows.  `counts`
+    returns the chosen-relevant CABAC bin counts per mode (same row
+    order's bins: sig0, sig1, g1_0, g1_1, g2_0, g2_1, cbf, zero) for the
+    caller to fold into the evolving state.
     """
     import jax.numpy as jnp
 
@@ -456,6 +466,17 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
         sig1 = tabs["sig1e"]
         scanpos = tabs["scanpos_e"]
         lastpb = tabs["lastpb_e"]
+    if rate_rows is None:
+        rate_rows = jnp.zeros((8, B), jnp.int32)
+    rr = jnp.concatenate([rate_rows] * mg, axis=1)       # (8, Mloc*B)
+    dsig0_i = rr[0:1]
+    dsig1_i = rr[1:2]
+    dsig0_f = dsig0_i.astype(f32) * f32(1.0 / MBf)
+    dsig1_f = dsig1_i.astype(f32) * f32(1.0 / MBf)
+    dg = {"g1_0": rr[2:3], "g1_1": rr[3:4], "g2_0": rr[4:5],
+          "g2_1": rr[5:6]}
+    dcbf0_i = rr[6:7]
+    dcbf1_i = rr[7:8]
     sign = jnp.sign(coeff)
     ldf = jnp.abs(coeff) * f32(cst["qscale"])
     ma = jnp.minimum(jnp.floor(ldf * f32(1.0 / qstep) + 0.5), 32767.0)
@@ -470,7 +491,7 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
         for j in range(1, 16):
             g = g + jnp.where(m >= (1 << j), 1, 0)
         golomb = jnp.where(s < 3, s + 1, 4 + 2 * g)
-        sbi = lambda k: jnp.int32(round(SB[k] * MBf))
+        sbi = lambda k: jnp.int32(round(SB[k] * MBf)) + dg[k]
         return jnp.int32(round(MBf)) + jnp.where(
             lvl_i == 1, sbi("g1_0"),
             jnp.where(lvl_i == 2, sbi("g1_1") + sbi("g2_0"),
@@ -483,10 +504,11 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
 
     def coded_cost(lvl):
         err = ldf - lvl * f32(qstep)
-        return err * err * err_scale + f32(lam) * (sig1 + level_bits(lvl))
+        return (err * err * err_scale
+                + f32(lam) * (sig1 + dsig1_f + level_bits(lvl)))
 
     d0 = ldf * ldf * err_scale
-    cost0 = d0 + f32(lam) * sig0
+    cost0 = d0 + f32(lam) * (sig0 + dsig0_f)
     cost_hi = coded_cost(ma)
     cost_lo = coded_cost(lo_)
     pick_lo = cost_lo < cost_hi
@@ -495,8 +517,8 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
     nz = jnp.logical_and(ma > 0, cost_nz < cost0)
     lvl = jnp.where(nz, lvl_nz, 0.0).astype(jnp.int32)
 
-    sig0_i = jnp.round(sig0 * MBf).astype(jnp.int32)
-    sig1_i = jnp.round(sig1 * MBf).astype(jnp.int32)
+    sig0_i = jnp.round(sig0 * MBf).astype(jnp.int32) + dsig0_i
+    sig1_i = jnp.round(sig1 * MBf).astype(jnp.int32) + dsig1_i
     sbi = lambda k: jnp.int32(round(SB[k] * MBf))
     nzb = lvl > 0
     last = jnp.max(jnp.where(nzb, scanpos, -1), axis=0, keepdims=True)
@@ -533,7 +555,7 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
                                        (nn, preds.shape[1]))
     lb_mb = jnp.sum(jnp.where(rsel, lastpb, 0),
                     axis=0, keepdims=True)
-    mb_coded = sbi("cbf1") + lb_mb + csb_mb + sig_mb + lvl_mb
+    mb_coded = sbi("cbf1") + dcbf1_i + lb_mb + csb_mb + sig_mb + lvl_mb
     bits_coded = mb_coded.astype(f32) * f32(1.0 / MBf)
     DS = 4.0
     dc_el = jnp.where(nzb,
@@ -543,11 +565,12 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
                       axis=0, keepdims=True).astype(f32) * f32(1.0 / DS)
     d_zero = jnp.sum(jnp.round(d0 * f32(DS)).astype(jnp.int32),
                      axis=0, keepdims=True).astype(f32) * f32(1.0 / DS)
-    zero_cost = d_zero + f32(lam * SB["cbf0"])
+    cbf0_extra = dcbf0_i.astype(f32) * f32(1.0 / MBf)
+    zero_cost = d_zero + (f32(lam * SB["cbf0"]) + f32(lam) * cbf0_extra)
     keep = jnp.logical_and(cbf, d_coded + f32(lam) * bits_coded < zero_cost)
     keepb = jnp.broadcast_to(keep, (nn, preds.shape[1]))
     lvl = jnp.where(keepb, lvl, 0)
-    tu_bits = jnp.where(keep, bits_coded, f32(SB["cbf0"]))
+    tu_bits = jnp.where(keep, bits_coded, f32(SB["cbf0"]) + cbf0_extra)
 
     # ---- sign-data hiding (per 4x4 CG = 16 contiguous sublanes) ----
     wpos = scanpos & 15
@@ -625,13 +648,31 @@ def _trial_blocks(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
     cost = (sse.astype(f32)
             + f32(lam) * (tu_bits + mode_row[0:1, :])
             + tabs["mode_big"])
-    return cost, rec, q
+
+    # CABAC bin counts of this mode's decided TU (for the evolving rate
+    # state): sig flags over paid positions, greater1/greater2 windows
+    # approximated by all-nonzero (the same aggregation the static tables
+    # use), cbf.  Row order matches rate_rows.
+    nzf = lvl > 0
+    cnt = jnp.concatenate([
+        jnp.sum(jnp.where(jnp.logical_and(sig_paid, ~nzf), 1, 0),
+                axis=0, keepdims=True),
+        jnp.sum(jnp.where(jnp.logical_and(sig_paid, nzf), 1, 0),
+                axis=0, keepdims=True),
+        jnp.sum(jnp.where(lvl == 1, 1, 0), axis=0, keepdims=True),
+        jnp.sum(jnp.where(lvl >= 2, 1, 0), axis=0, keepdims=True),
+        jnp.sum(jnp.where(lvl == 2, 1, 0), axis=0, keepdims=True),
+        jnp.sum(jnp.where(lvl >= 3, 1, 0), axis=0, keepdims=True),
+        jnp.max(jnp.where(nzf, 1, 0), axis=0, keepdims=True),
+        jnp.ones_like(dsig0_i),
+    ], axis=0).astype(jnp.int32)
+    return cost, rec, q, cnt
 
 
-def _argmin_blocks(cst, cost, rec, q, m_cnt, m_offset, carry=None):
+def _argmin_blocks(cst, cost, rec, q, cnt, m_cnt, m_offset, carry=None):
     """Running first-minimum argmin over mode blocks (strict <, ascending
     global mode ids == jnp.argmin tie-break).  `carry` continues a previous
-    group's (minv, best, rec_b, q_b)."""
+    group's (minv, best, rec_b, q_b, cnt_b)."""
     import jax.numpy as jnp
 
     nn, B = cst["nn"], cst["B"]
@@ -640,9 +681,10 @@ def _argmin_blocks(cst, cost, rec, q, m_cnt, m_offset, carry=None):
         best = jnp.zeros((1, B), jnp.int32) + m_offset * 1
         rec_b = rec[:, 0:B]
         q_b = q[:, 0:B]
+        cnt_b = cnt[:, 0:B]
         start = 1
     else:
-        minv, best, rec_b, q_b = carry
+        minv, best, rec_b, q_b, cnt_b = carry
         start = 0
     for j in range(start, m_cnt):
         cm = cost[:, j * B:(j + 1) * B]
@@ -652,24 +694,29 @@ def _argmin_blocks(cst, cost, rec, q, m_cnt, m_offset, carry=None):
         mk = jnp.broadcast_to(better, (nn, B))
         rec_b = jnp.where(mk, rec[:, j * B:(j + 1) * B], rec_b)
         q_b = jnp.where(mk, q[:, j * B:(j + 1) * B], q_b)
-    return minv, best, rec_b, q_b
+        ck = jnp.broadcast_to(better, (8, B))
+        cnt_b = jnp.where(ck, cnt[:, j * B:(j + 1) * B], cnt_b)
+    return minv, best, rec_b, q_b, cnt_b
 
 
-def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p):
+def fused_trial_math(cst, tabs, comb, orig_p, mode_row, nn_pred_p,
+                     rate_rows=None):
     """Single-block fused trial: blocks core + argmin/select, padded rows.
 
     Returns (cost (8,B) f32 row0, best (8,B) i32 row0, rec (nn,B) i32,
-    q (nn,B) i32), bit-identical to the unfused XLA trial."""
+    q (nn,B) i32, counts (8,B) i32), bit-identical to the unfused XLA
+    trial (counts are the chosen mode's CABAC bin counts)."""
     import jax.numpy as jnp
 
     B = cst["B"]
-    cost, rec, q = _trial_blocks(cst, tabs, comb, orig_p, mode_row,
-                                 nn_pred_p)
-    minv, best, rec_b, q_b = _argmin_blocks(cst, cost, rec, q, M_PAD, 0)
+    cost, rec, q, cnt = _trial_blocks(cst, tabs, comb, orig_p, mode_row,
+                                      nn_pred_p, rate_rows=rate_rows)
+    minv, best, rec_b, q_b, cnt_b = _argmin_blocks(
+        cst, cost, rec, q, cnt, M_PAD, 0)
     pad8 = jnp.zeros((7, B), jnp.float32)
     cost_out = jnp.concatenate([minv, pad8], axis=0)
     best_out = jnp.concatenate([best, pad8.astype(jnp.int32)], axis=0)
-    return cost_out, best_out, rec_b, q_b
+    return cost_out, best_out, rec_b, q_b, cnt_b
 
 
 _TAB_KEYS = ("F", "Fs", "P2", "dcw", "selT", "selL", "adj26", "adj10",
@@ -713,6 +760,7 @@ def _pallas_run(cst):
         jax.ShapeDtypeStruct((8, B), jnp.int32),
         jax.ShapeDtypeStruct((nn, B), jnp.int32),
         jax.ShapeDtypeStruct((nn, B), jnp.int32),
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
     ]
     tables = [_load_tab(cst, k) for k in _TAB_KEYS]
     interpret = jax.default_backend() != "tpu"
@@ -724,18 +772,22 @@ def _pallas_run(cst):
             orig_p = refs[n_tab + 1][...]
             mode_row = refs[n_tab + 2][...]
             nn_pred = refs[n_tab + 3][...]
-            cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
-                                                  mode_row, nn_pred)
-            refs[n_tab + 4][...] = cost
-            refs[n_tab + 5][...] = best
-            refs[n_tab + 6][...] = rec
-            refs[n_tab + 7][...] = q
+            rate_rows = refs[n_tab + 4][...]
+            cost, best, rec, q, cnt = fused_trial_math(
+                cst, tabs, comb, orig_p, mode_row, nn_pred,
+                rate_rows=rate_rows)
+            refs[n_tab + 5][...] = cost
+            refs[n_tab + 6][...] = best
+            refs[n_tab + 7][...] = rec
+            refs[n_tab + 8][...] = q
+            refs[n_tab + 9][...] = cnt
 
         call = pl.pallas_call(kernel, out_shape=out_shape,
                               interpret=interpret)
 
-        def run(comb, orig_p, mode_row, nn_pred):
-            return call(*tables, comb, orig_p, mode_row, nn_pred)
+        def run(comb, orig_p, mode_row, nn_pred, rate_rows):
+            return call(*tables, comb, orig_p, mode_row, nn_pred,
+                        rate_rows)
 
         cst["_pcall"] = run
         return run
@@ -747,28 +799,34 @@ def _pallas_run(cst):
         orig_p = refs[n_tab + 1][...]
         mode_row = refs[n_tab + 2][...]
         nn_pred = refs[n_tab + 3][...]
-        o_cost, o_best, o_rec, o_q = refs[n_tab + 4:n_tab + 8]
-        s_min, s_best, s_rec, s_q = refs[n_tab + 8:n_tab + 12]
-        cost, rec, q = _trial_blocks(cst, tabs, comb, orig_p, mode_row,
-                                     nn_pred, gsel=g)
+        rate_rows = refs[n_tab + 4][...]
+        o_cost, o_best, o_rec, o_q, o_cnt = refs[n_tab + 5:n_tab + 10]
+        s_min, s_best, s_rec, s_q, s_cnt = refs[n_tab + 10:n_tab + 15]
+        cost, rec, q, cnt = _trial_blocks(cst, tabs, comb, orig_p,
+                                          mode_row, nn_pred, gsel=g,
+                                          rate_rows=rate_rows)
 
         @pl.when(g == 0)
         def _init():
-            m0, b0, r0, q0 = _argmin_blocks(cst, cost, rec, q, mg, 0)
+            m0, b0, r0, q0, c0 = _argmin_blocks(cst, cost, rec, q, cnt,
+                                                mg, 0)
             s_min[0:1, :] = m0
             s_best[0:1, :] = b0
             s_rec[...] = r0
             s_q[...] = q0
+            s_cnt[...] = c0
 
         @pl.when(g > 0)
         def _fold():
-            carry = (s_min[0:1, :], s_best[0:1, :], s_rec[...], s_q[...])
-            m1, b1, r1, q1 = _argmin_blocks(cst, cost, rec, q, mg, g * mg,
-                                            carry=carry)
+            carry = (s_min[0:1, :], s_best[0:1, :], s_rec[...], s_q[...],
+                     s_cnt[...])
+            m1, b1, r1, q1, c1 = _argmin_blocks(cst, cost, rec, q, cnt,
+                                                mg, g * mg, carry=carry)
             s_min[0:1, :] = m1
             s_best[0:1, :] = b1
             s_rec[...] = r1
             s_q[...] = q1
+            s_cnt[...] = c1
 
         @pl.when(g == G - 1)
         def _emit():
@@ -778,6 +836,7 @@ def _pallas_run(cst):
                 [s_best[0:1, :], zero7f.astype(jnp.int32)], axis=0)
             o_rec[...] = s_rec[...]
             o_q[...] = s_q[...]
+            o_cnt[...] = s_cnt[...]
 
     def spec(k):
         if k == "P2":
@@ -792,12 +851,14 @@ def _pallas_run(cst):
         pl.BlockSpec((nn, B), lambda g: (0, 0)),
         pl.BlockSpec((8, mg * B), lambda g: (0, g)),
         pl.BlockSpec((nn, B), lambda g: (0, 0)),
+        pl.BlockSpec((8, B), lambda g: (0, 0)),
     ]
     out_specs = [
         pl.BlockSpec((8, B), lambda g: (0, 0)),
         pl.BlockSpec((8, B), lambda g: (0, 0)),
         pl.BlockSpec((nn, B), lambda g: (0, 0)),
         pl.BlockSpec((nn, B), lambda g: (0, 0)),
+        pl.BlockSpec((8, B), lambda g: (0, 0)),
     ]
     params = {}
     if nn >= 1024:
@@ -814,25 +875,28 @@ def _pallas_run(cst):
             pltpu.VMEM((8, B), jnp.int32),
             pltpu.VMEM((nn, B), jnp.int32),
             pltpu.VMEM((nn, B), jnp.int32),
+            pltpu.VMEM((8, B), jnp.int32),
         ],
         interpret=interpret, **params)
 
-    def run(comb, orig_p, mode_row, nn_pred):
-        return call(*tables, comb, orig_p, mode_row, nn_pred)
+    def run(comb, orig_p, mode_row, nn_pred, rate_rows):
+        return call(*tables, comb, orig_p, mode_row, nn_pred, rate_rows)
 
     cst["_pcall"] = run
     return run
 
 
 def trial_apply(cst, ref_top, ref_left, orig, mode_bits, nn_pred=None,
-                impl="pallas"):
+                impl="pallas", rate_rows=None):
     """Slot-major adapter around the fused trial.
 
     ref_top/ref_left (b, 2n+1) i32, orig (b, n, n) i32, mode_bits
-    (b, n_modes) f32, nn_pred (b, n, n) i32 or None.  Returns
-    (cost (b,) f32, best (b,) i32, rec (b, n, n) i32, q (b, n, n) i32),
-    bit-identical to the unfused XLA trial.  impl="xla" inlines the same
-    math as plain ops (the exactness-test twin and CPU fallback).
+    (b, n_modes) f32, nn_pred (b, n, n) i32 or None, rate_rows (8, b) i32
+    live rate-state deltas or None (static tables).  Returns
+    (cost (b,) f32, best (b,) i32, rec (b, n, n) i32, q (b, n, n) i32,
+    counts (b, 8) i32), bit-identical to the unfused XLA trial.
+    impl="xla" inlines the same math as plain ops (the exactness-test twin
+    and CPU fallback).
     """
     import jax.numpy as jnp
 
@@ -851,11 +915,15 @@ def trial_apply(cst, ref_top, ref_left, orig, mode_bits, nn_pred=None,
     mb = jnp.pad(mode_bits.astype(jnp.float32),
                  ((0, B - b), (0, M_PAD - mode_bits.shape[1])))
     mode_row = jnp.pad(jnp.reshape(mb.T, (1, L)), ((0, 7), (0, 0)))
+    if rate_rows is None:
+        rr = jnp.zeros((8, B), jnp.int32)
+    else:
+        rr = jnp.pad(rate_rows.astype(jnp.int32), ((0, 0), (0, B - b)))
     if impl == "xla":
         tabs = {k: _load_tab(cst, k) for k in _TAB_KEYS}
         if cst["groups"] == 1:
-            cost, best, rec, q = fused_trial_math(cst, tabs, comb, orig_p,
-                                                  mode_row, nnp)
+            cost, best, rec, q, cnt = fused_trial_math(
+                cst, tabs, comb, orig_p, mode_row, nnp, rate_rows=rr)
         else:
             mg = cst["mg"]
             carry = None
@@ -865,18 +933,20 @@ def trial_apply(cst, ref_top, ref_left, orig, mode_bits, nn_pred=None,
                 gt["mode_big"] = tabs["mode_big"][:, g * mg * B:
                                                   (g + 1) * mg * B]
                 mrow = mode_row[:, g * mg * B:(g + 1) * mg * B]
-                c_r, r_r, q_r = _trial_blocks(cst, gt, comb, orig_p, mrow,
-                                              nnp, gsel=g)
-                carry = _argmin_blocks(cst, c_r, r_r, q_r, mg, g * mg,
-                                       carry=carry)
-            minv, bestv, rec_b0, q_b0 = carry
+                c_r, r_r, q_r, n_r = _trial_blocks(cst, gt, comb, orig_p,
+                                                   mrow, nnp, gsel=g,
+                                                   rate_rows=rr)
+                carry = _argmin_blocks(cst, c_r, r_r, q_r, n_r, mg,
+                                       g * mg, carry=carry)
+            minv, bestv, rec_b0, q_b0, cnt = carry
             pad8 = jnp.zeros((7, B), jnp.float32)
             cost = jnp.concatenate([minv, pad8], axis=0)
             best = jnp.concatenate([bestv, pad8.astype(jnp.int32)], axis=0)
             rec, q = rec_b0, q_b0
     else:
-        cost, best, rec, q = _pallas_run(cst)(comb, orig_p, mode_row, nnp)
+        cost, best, rec, q, cnt = _pallas_run(cst)(comb, orig_p, mode_row,
+                                                   nnp, rr)
     ipp = jnp.asarray(cst["ipp"])
     rec_b = rec.T[:b][:, ipp].reshape(b, n, n)
     q_b = q.T[:b][:, ipp].reshape(b, n, n)
-    return cost[0, :b], best[0, :b], rec_b, q_b
+    return cost[0, :b], best[0, :b], rec_b, q_b, cnt.T[:b]

@@ -188,14 +188,19 @@ def _jitted_wavefront2(height: int, width: int, qp: int,
                        lam_scale: float = 1.0, policy: str = "regular",
                        bundle=None, halo_axis: str | None = None,
                        n_tiles: int = 1, ctb: int = CTB,
-                       enable_nxn: bool = True, n_frames: int = 1):
+                       enable_nxn: bool = True, n_frames: int = 1,
+                       rate_evolve: bool | None = None):
+    import os as _os
+    if rate_evolve is None:
+        rate_evolve = _os.environ.get("CANP_RATE_EVOLVE") == "1"
     key = (height, width, qp, lam_scale, policy, id(bundle), halo_axis,
-           n_tiles, ctb, enable_nxn, n_frames)
+           n_tiles, ctb, enable_nxn, n_frames, rate_evolve)
     hit = _W2_CACHE.get(key)
     if hit is not None:
         return hit[0]
     run = _build_wavefront2(height, width, qp, lam_scale, policy, bundle,
-                            halo_axis, n_tiles, ctb, enable_nxn, n_frames)
+                            halo_axis, n_tiles, ctb, enable_nxn, n_frames,
+                            rate_evolve)
     _cache_put(_W2_CACHE, key, (run, bundle))
     return run
 
@@ -204,7 +209,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                       lam_scale: float, policy: str, bundle,
                       halo_axis: str | None = None, n_tiles: int = 1,
                       ctb: int = CTB, enable_nxn: bool = True,
-                      n_frames: int = 1):
+                      n_frames: int = 1, rate_evolve: bool = False):
     """Builds the jitted quadtree wavefront encoder (CTB `ctb` in {32, 64}).
 
     **Skewed (systolic) storage** — the round-4 restructure that removes the
@@ -485,6 +490,47 @@ def _build_wavefront2(height: int, width: int, qp: int,
             size_consts[n]["fused"] = unit_fused.build_consts(
                 n, n_modes, size_consts[n], SB, lam, qscale, iq_scale,
                 b_eff, nn_policy=nnpol, groups=grp)
+
+    # ---- live (WPP-style) rate-state evolution (round-5 task 2) ----
+    # HM re-loads its RD bit estimates from the LIVE CABAC contexts before
+    # every TU (TEncSearch.cpp:1309 estimateBit / TEncSbac.h:160 estBit);
+    # every static approximation measurably misprices candidates (init
+    # +10.86%, two-pass +12.98% BD).  Here each CTB row carries aggregate
+    # bin counts (sig per TU size, greater1/greater2, cbf) as one more
+    # skewed state buffer; a row inherits the row above's state at its
+    # first CTB (causal under the wavefront: the upper row has finished
+    # its 2nd CTB - WPP semantics), and per-slot micro-bit DELTAS derived
+    # from the counts via an integer -log2 lookup (platform-invariant)
+    # feed the fused trial kernels additively.  Encoder-side only: rate
+    # ESTIMATES steer decisions, serialization stays the exact CABAC.
+    if rate_evolve:
+        if halo_axis is not None or ctb != 32:
+            raise NotImplementedError(
+                "rate_evolve ships for single-device CTB-32 first")
+        if fused_impl is None:
+            raise ValueError("rate_evolve requires the fused unit path")
+        _i = np.arange(64)
+        RS_LUT0 = np.round(-np.log2(1.0 - (_i + 0.5) / 64.0)
+                           * 256.0).astype(np.int32)
+        RS_LUT1 = np.round(-np.log2((_i + 0.5) / 64.0)
+                           * 256.0).astype(np.int32)
+        _mb = lambda v: int(round(float(v) * 256.0))
+        # Class order: sig4, sig8, sig16, sig32, g1, g2, cbf, (pad).
+        RS_STAT0 = np.array(
+            [_mb(np.mean(size_consts[4]["sig0"])),
+             _mb(np.mean(size_consts[8]["sig0"])),
+             _mb(np.mean(size_consts[16]["sig0"])),
+             _mb(np.mean(size_consts[32]["sig0"])),
+             _mb(SB["g1_0"]), _mb(SB["g2_0"]), _mb(SB["cbf0"]), 0],
+            np.int32)
+        RS_STAT1 = np.array(
+            [_mb(np.mean(size_consts[4]["sig1"])),
+             _mb(np.mean(size_consts[8]["sig1"])),
+             _mb(np.mean(size_consts[16]["sig1"])),
+             _mb(np.mean(size_consts[32]["sig1"])),
+             _mb(SB["g1_1"]), _mb(SB["g2_1"]), _mb(SB["cbf1"]), 0],
+            np.int32)
+        RS_TMIN = 32
 
     def filter_refs(n, ref_top, ref_left):
         corner = ref_top[0]
@@ -794,7 +840,11 @@ def _build_wavefront2(height: int, width: int, qp: int,
         return q, tu_bits
 
     def step(state, t):
-        (frame_sk, recon_sk, mode8_sk, c8_sk) = state
+        if rate_evolve:
+            (frame_sk, recon_sk, mode8_sk, c8_sk, rs_sk) = state
+        else:
+            (frame_sk, recon_sk, mode8_sk, c8_sk) = state
+            rs_sk = None
         if halo_axis is not None:
             d = jax.lax.axis_index(halo_axis)
             t_loc = t - 2 * sby * d     # global schedule, stripe offset
@@ -812,6 +862,38 @@ def _build_wavefront2(height: int, width: int, qp: int,
         by_ids = by0 + jnp.repeat(jnp.arange(b_max), NF)
         f_ids = jnp.tile(jnp.arange(NF), b_max)
         bx_ids = t_loc - 2 * by_ids
+
+        rate_rows_by_n = {4: None, 8: None, 16: None, 32: None}
+        if rate_evolve:
+            # WPP inherit: a slot entering its row (bx == 0) adopts the
+            # row above's state (plane - NF; the halo plane's zeros for
+            # the top row), which at step t has coded its 2nd CTB.
+            above = jax.lax.dynamic_slice(
+                rs_sk, ((by0 + ROW0 - 1) * NF, 0, 0), (b_eff, 8, 16))
+            cur = jax.lax.dynamic_slice(
+                rs_sk, ((by0 + ROW0) * NF, 0, 0), (b_eff, 8, 16))
+            inh = jnp.where((bx_ids == 0)[:, None, None], above, cur)
+            rs_sk = jax.lax.dynamic_update_slice(
+                rs_sk, inh, ((by0 + ROW0) * NF, 0, 0))
+            rs_row = inh[:, 0, :]                      # (b_eff, 16)
+            n0s = rs_row[:, 0::2]
+            n1s = rs_row[:, 1::2]                      # (b_eff, 8)
+            tot = n0s + n1s
+            ridx = jnp.clip((n1s * 64) // jnp.maximum(tot, 1), 0, 63)
+            l0 = jnp.take(jnp.asarray(RS_LUT0), ridx)
+            l1 = jnp.take(jnp.asarray(RS_LUT1), ridx)
+            act = tot >= RS_TMIN
+            rd0 = jnp.where(act, l0 - jnp.asarray(RS_STAT0)[None], 0)
+            rd1 = jnp.where(act, l1 - jnp.asarray(RS_STAT1)[None], 0)
+
+            def _rrows(si):
+                return jnp.stack(
+                    [rd0[:, si], rd1[:, si], rd0[:, 4], rd1[:, 4],
+                     rd0[:, 5], rd1[:, 5], rd0[:, 6], rd1[:, 6]]
+                ).astype(jnp.int32)
+
+            rate_rows_by_n = {nsz: _rrows(i)
+                              for i, nsz in enumerate((4, 8, 16, 32))}
 
         def refs_for_b(n, recon_now, ly, lx):
             """Batched bit-exact HM reference arrays for all slots.
@@ -942,7 +1024,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 mbits = mode_bits_b(n, mode8_now, ly, lx)
                 return unit_fused.trial_apply(
                     c["fused"], ref_top, ref_left, orig, mbits, nn_pred,
-                    impl=fused_impl)
+                    impl=fused_impl, rate_rows=rate_rows_by_n[n])
             ref_top, ref_left = refs_for_b(n, recon_now, ly, lx)
             f_top, f_left = jax.vmap(
                 lambda a, b: filter_refs(n, a, b))(ref_top, ref_left)
@@ -987,7 +1069,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             q_b = jnp.take_along_axis(
                 q, best[:, None, None, None], axis=1)[:, 0]
             cost_b = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
-            return cost_b, best, rec_b, q_b
+            return cost_b, best, rec_b, q_b, jnp.zeros((b_eff, 8),
+                                                       jnp.int32)
 
         def commit_box(buf, upd, p0, r0, c0, cond=None):
             """One contiguous box commit for all slots.  Invalid slots'
@@ -1030,13 +1113,13 @@ def _build_wavefront2(height: int, width: int, qp: int,
             (work, mode8_sk, c8_sk) = carry
 
             def quad_body(qc, quad):
-                recon_, mode8_, c8_, qsum = qc
+                recon_, mode8_, c8_, qsum, qa4, qa8, qa16 = qc
                 qdx, qdy = quad & 1, quad >> 1
 
                 def z_body(zc, z):
                     """One 8x8 cell: 2Nx2N vs NxN (four DST 4x4 PUs,
                     TEncSearch.cpp:2295-2303)."""
-                    recon_, mode8_, c8_ = zc
+                    recon_, mode8_, c8_, zb4, zb8 = zc
                     ly8 = oy + (qdy * 2 + (z >> 1)) * 8
                     lx8 = ox + (qdx * 2 + (z & 1)) * 8
 
@@ -1048,17 +1131,18 @@ def _build_wavefront2(height: int, width: int, qp: int,
                         # whole cell, so the temporary 4x4 commits never
                         # leak outside it.
                         def s4_body(sc, s4):
-                            recon4, cost_nxn, last_m4 = sc
+                            recon4, cost_nxn, last_m4, cn4s = sc
                             ly4 = ly8 + (s4 >> 1) * 4
                             lx4 = lx8 + (s4 & 1) * 4
-                            c4, m4b, rec4, q4b = encode_unit_b(
+                            c4, m4b, rec4, q4b, cn4 = encode_unit_b(
                                 4, recon4, mode8_, ly4, lx4)
                             recon4 = commit_rec(recon4, rec4, ly4, lx4)
+                            cn4s = cn4s + cn4
                             # Narrow transfer dtypes: modes/flags fit int8,
                             # levels int16 (|level| <= 32767) - the
                             # device->host ys stream halves (the axon
                             # tunnel moves ~30 MB/s).
-                            return ((recon4, cost_nxn + c4, m4b),
+                            return ((recon4, cost_nxn + c4, m4b, cn4s),
                                     {"m4": m4b.astype(jnp.int8),
                                      "q4": q4b.astype(jnp.int16)})
 
@@ -1066,13 +1150,16 @@ def _build_wavefront2(height: int, width: int, qp: int,
                         # frame so the scan carry matches the outputs'
                         # varying manual axes under shard_map.
                         z0 = frame_sk[0, 0, 0] * 0
-                        (recon_, cost_nxn, last_m4), ys4 = jax.lax.scan(
-                            s4_body,
-                            (recon_,
-                             jnp.zeros((b_eff,), jnp.float32)
-                             + z0.astype(jnp.float32),
-                             jnp.zeros((b_eff,), jnp.int32) + z0),
-                            jnp.arange(4))
+                        (recon_, cost_nxn, last_m4, cnt_nxn), ys4 = \
+                            jax.lax.scan(
+                                s4_body,
+                                (recon_,
+                                 jnp.zeros((b_eff,), jnp.float32)
+                                 + z0.astype(jnp.float32),
+                                 jnp.zeros((b_eff,), jnp.int32) + z0,
+                                 jnp.zeros((b_eff, 8), jnp.int32)
+                                 + z0[None, None] * 0),
+                                jnp.arange(4))
                         ys.update(ys4)
                         # The 8x8 2Nx2N trial reads only OUTSIDE the cell
                         # (its L-pattern and NN portions never overlap the
@@ -1080,7 +1167,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
                         # is bit-identical - and keeps the reconstruction
                         # a single linear def-use chain XLA can update in
                         # place through the scan.
-                        cost8, mode8b, rec8, q8b = encode_unit_b(
+                        cost8, mode8b, rec8, q8b, cn8 = encode_unit_b(
                             8, recon_, mode8_, ly8, lx8)
                         use2n = (cost8 + lam * SB["part_2nx2n"]
                                  < cost_nxn + lam * SB["part_nxn"])
@@ -1090,9 +1177,10 @@ def _build_wavefront2(height: int, width: int, qp: int,
                     else:
                         # Speed knob: 8x8 cells are always 2Nx2N leaves (the
                         # 4x4 z-chains are the critical-path hot spot).
-                        cost8, mode8b, rec8, q8b = encode_unit_b(
+                        cost8, mode8b, rec8, q8b, cn8 = encode_unit_b(
                             8, recon_, mode8_, ly8, lx8)
                         last_m4 = mode8b
+                        cnt_nxn = jnp.zeros((b_eff, 8), jnp.int32)
                         use2n = jnp.ones_like(cost8, bool)
                         cell_cost = cost8 + lam * SB["part_2nx2n"]
 
@@ -1105,14 +1193,20 @@ def _build_wavefront2(height: int, width: int, qp: int,
                     ys.update(m8=mode8b.astype(jnp.int8),
                               q8=q8b.astype(jnp.int16),
                               s8=jnp.where(use2n, 0, 1).astype(jnp.int8))
-                    return (recon_, mode8_, c8_), ys
+                    u2 = use2n[:, None]
+                    zb4 = zb4 + jnp.where(u2, 0, cnt_nxn)
+                    zb8 = zb8 + jnp.where(u2, cn8, 0)
+                    return (recon_, mode8_, c8_, zb4, zb8), ys
 
-                (recon_, mode8_, c8_), ys_z = jax.lax.scan(
-                    z_body, (recon_, mode8_, c8_), jnp.arange(4))
+                czero = (jnp.zeros((b_eff, 8), jnp.int32)
+                         + frame_sk[0, 0, 0] * 0)
+                (recon_, mode8_, c8_, zb4, zb8), ys_z = jax.lax.scan(
+                    z_body, (recon_, mode8_, c8_, czero, czero),
+                    jnp.arange(4))
 
                 ly16 = oy + qdy * 16
                 lx16 = ox + qdx * 16
-                cost16, mode16, rec16, qq16 = encode_unit_b(
+                cost16, mode16, rec16, qq16, cn16 = encode_unit_b(
                     16, recon_, mode8_, ly16, lx16)
 
                 # Fixed-order adds over the 2x2 cell costs (a 4-way float
@@ -1135,17 +1229,26 @@ def _build_wavefront2(height: int, width: int, qp: int,
                 ys.update(m16=mode16.astype(jnp.int8),
                           q16=qq16.astype(jnp.int16),
                           s16=jnp.where(use16, 0, 1).astype(jnp.int8))
-                return (recon_, mode8_, c8_, qsum + qcost_q), ys
+                u16 = use16[:, None]
+                qa4 = qa4 + jnp.where(u16, 0, zb4)
+                qa8 = qa8 + jnp.where(u16, 0, zb8)
+                qa16 = qa16 + jnp.where(u16, cn16, 0)
+                return (recon_, mode8_, c8_, qsum + qcost_q,
+                        qa4, qa8, qa16), ys
 
-            (work, mode8_sk, c8_sk, qsum), ys_q = jax.lax.scan(
-                quad_body,
-                (work, mode8_sk, c8_sk,
-                 jnp.zeros((b_eff,), jnp.float32)
-                 + frame_sk[0, 0, 0].astype(jnp.float32) * 0),
-                jnp.arange(4))
+            qzero = (jnp.zeros((b_eff, 8), jnp.int32)
+                     + frame_sk[0, 0, 0] * 0)
+            (work, mode8_sk, c8_sk, qsum, qa4, qa8, qa16), ys_q = \
+                jax.lax.scan(
+                    quad_body,
+                    (work, mode8_sk, c8_sk,
+                     jnp.zeros((b_eff,), jnp.float32)
+                     + frame_sk[0, 0, 0].astype(jnp.float32) * 0,
+                     qzero, qzero, qzero),
+                    jnp.arange(4))
 
             # --- 32x32 candidate ---
-            cost32, mode32, rec32, qq32 = encode_unit_b(
+            cost32, mode32, rec32, qq32, cn32 = encode_unit_b(
                 32, work, mode8_sk, oy, ox)
             cost_quads = qsum + lam * SB["split1"]
             cost32f = cost32 + lam * SB["split0"]
@@ -1159,12 +1262,43 @@ def _build_wavefront2(height: int, width: int, qp: int,
             ys.update(m32=mode32.astype(jnp.int8),
                       q32=qq32.astype(jnp.int16),
                       s32=jnp.where(use32, 0, 1).astype(jnp.int8))
-            return (work, mode8_sk, c8_sk), c32_best, ys
+            if rate_evolve:
+                u32 = use32[:, None]
+                fb4 = jnp.where(u32, 0, qa4)
+                fb8 = jnp.where(u32, 0, qa8)
+                fb16 = jnp.where(u32, 0, qa16)
+                fb32 = jnp.where(u32, cn32, 0)
+                cnt_tree = (fb4, fb8, fb16, fb32)
+            else:
+                cnt_tree = None
+            return (work, mode8_sk, c8_sk), c32_best, ys, cnt_tree
 
         carry = (work, mode8_sk, c8_sk)
         if ctb == 32:
-            carry, _, ys_step = encode_ctb32(carry, 0, 0)
+            carry, _, ys_step, cnt_tree = encode_ctb32(carry, 0, 0)
             (work, mode8_sk, c8_sk) = carry
+            if rate_evolve:
+                fb4, fb8, fb16, fb32 = cnt_tree
+                allb = fb4 + fb8 + fb16 + fb32
+                upd = jnp.concatenate(
+                    [fb4[:, 0:2], fb8[:, 0:2], fb16[:, 0:2], fb32[:, 0:2],
+                     allb[:, 2:6],
+                     allb[:, 7:8] - allb[:, 6:7], allb[:, 6:7],
+                     jnp.zeros((b_eff, 2), jnp.int32)], axis=1)
+                newrow = rs_row + upd
+                n0n = newrow[:, 0::2]
+                n1n = newrow[:, 1::2]
+                # Exponential aging keeps the estimator adaptive (HM's
+                # CABAC states have bounded memory too).
+                big_t = (n0n + n1n) > 1024
+                n0n = jnp.where(big_t, (n0n + 1) >> 1, n0n)
+                n1n = jnp.where(big_t, (n1n + 1) >> 1, n1n)
+                newrow = jnp.stack([n0n, n1n], axis=2).reshape(b_eff, 16)
+                blk = jnp.concatenate(
+                    [newrow[:, None, :],
+                     jnp.zeros((b_eff, 7, 16), jnp.int32)], axis=1)
+                rs_sk = jax.lax.dynamic_update_slice(
+                    rs_sk, blk, ((by0 + ROW0) * NF, 0, 0))
         else:
             # --- CTB 64: four 32-quadrants in z-order, then a 64x64
             #     2Nx2N candidate (one signalled mode, four forced TU32s
@@ -1173,7 +1307,7 @@ def _build_wavefront2(height: int, width: int, qp: int,
             def quad64_body(qc, quad):
                 carry, csum = qc
                 qdx, qdy = quad & 1, quad >> 1
-                carry, c32_best, ys32 = encode_ctb32(
+                carry, c32_best, ys32, _ = encode_ctb32(
                     carry, qdy * 32, qdx * 32)
                 return (carry, csum + c32_best), ys32
 
@@ -1334,6 +1468,8 @@ def _build_wavefront2(height: int, width: int, qp: int,
             recon_sk = jax.lax.dynamic_update_slice(
                 recon_sk, new_halo[None], (0, 0, 0))
 
+        if rate_evolve:
+            return (frame_sk, recon_sk, mode8_sk, c8_sk, rs_sk), ys_step
         return (frame_sk, recon_sk, mode8_sk, c8_sk), ys_step
 
     def run(frame_u8):
@@ -1361,7 +1497,11 @@ def _build_wavefront2(height: int, width: int, qp: int,
                             1, jnp.int32) + zero
         c8_sk = jnp.zeros(((sby + b_max - 1) * NF, cu8, W8), jnp.float32) \
             + zero.astype(jnp.float32)
-        state = (frame_sk, recon_sk, mode8_sk, c8_sk)
+        if rate_evolve:
+            rs_sk0 = jnp.zeros((n_planes * NF, 8, 16), jnp.int32) + zero
+            state = (frame_sk, recon_sk, mode8_sk, c8_sk, rs_sk0)
+        else:
+            state = (frame_sk, recon_sk, mode8_sk, c8_sk)
         state, ys = jax.lax.scan(step, state, jnp.arange(n_steps))
         recon_sk = state[1]
         outs = []
@@ -1474,7 +1614,8 @@ def _assemble_arrays(ys, height, width, ctb, t_offset=0):
 def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
                             serialize: bool = True, lam_scale: float = 1.0,
                             policy: str = "regular", pnn=None,
-                            ctb: int = CTB, enable_nxn: bool = True):
+                            ctb: int = CTB, enable_nxn: bool = True,
+                            rate_evolve: bool | None = None):
     """Quadtree wavefront encode -> EncodeResult (own bitstream).
 
     `ctb=64` adds the 64x64 CU level (HM's intra_main_rext.cfg CTU 64
@@ -1492,7 +1633,7 @@ def encode_frame_wavefront2(frame_uint8: np.ndarray, qp: int, *,
     bundle = getattr(pnn, "bundle", pnn)
     h, w = frame_uint8.shape
     run = _jitted_wavefront2(h, w, qp, lam_scale, policy, bundle, ctb=ctb,
-                             enable_nxn=enable_nxn)
+                             enable_nxn=enable_nxn, rate_evolve=rate_evolve)
     recon, ys = run(jnp.asarray(frame_uint8))
     arrays = (np.asarray(recon),) + _assemble_arrays(ys, h, w, ctb)
     return _arrays_to_result(frame_uint8, qp, arrays, policy, serialize,
