@@ -77,35 +77,40 @@ def _measure(out_path):
 
     # Headline first (sustained v2 batch-4), so a tunnel stall or watchdog
     # cut still leaves the metric that matters in the incremental file.
+    # Timing materializes the reconstruction (np.asarray) rather than
+    # trusting block_until_ready: the axon backend's readiness signal can
+    # fire before results exist for repeated dispatches.  rate_evolve=True
+    # is the benchmark config: the BD artifact attached below is measured
+    # with the same live rate-state evolution.
     import jax
 
     B = 4
     rb = wavefront2._jitted_wavefront2_batch(h, w, qp, 1.0, "regular", None,
                                              n_frames=B)
     fb = jnp.asarray(np.stack([frame] * B))
-    jax.block_until_ready(rb(fb))
+    np.asarray(rb(fb)[0])
     t0 = time.time()
     for _ in range(2):
-        jax.block_until_ready(rb(fb))
+        np.asarray(rb(fb)[0])
     results["v2_b4_fps"] = 2 * B / (time.time() - t0)
     save()
 
     r2 = wavefront2._jitted_wavefront2(h, w, qp)
     f2 = jnp.asarray(frame)
-    jax.block_until_ready(r2(f2))
+    np.asarray(r2(f2)[0])
     t0 = time.time()
     for _ in range(2):
-        jax.block_until_ready(r2(f2))
+        np.asarray(r2(f2)[0])
     results["v2_b1_fps"] = 2 / (time.time() - t0)
     save()
 
     # --- v1 (throughput corner), for continuity ---
     r1 = wavefront._jitted_wavefront(h - h % 16, w, 16, qp)
     f1 = jnp.asarray(frame[:h - h % 16])
-    jax.block_until_ready(r1(f1))
+    np.asarray(r1(f1)[0])
     t0 = time.time()
     for _ in range(3):
-        jax.block_until_ready(r1(f1))
+        np.asarray(r1(f1)[0])
     results["v1_fps"] = 3 / (time.time() - t0)
     save()
     return results
@@ -125,12 +130,18 @@ def _e2e_fps():
 
 
 def _bd_full():
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "artifacts/bd_wavefront_v2_parkscene.json")) as f:
-            return round(json.load(f)["vs_hm"]["full"], 2)
-    except Exception:
-        return None
+    """BD-rate vs HM of the SAME 1080p stream the fps above times (round-5
+    task 3), falling back to the 416x224 crop artifacts if absent."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    for name in ("bd_wavefront_v2_evolve_parkscene1080.json",
+                 "bd_wavefront_v2_evolve_parkscene.json",
+                 "bd_wavefront_v2_parkscene.json"):
+        try:
+            with open(os.path.join(base, "artifacts", name)) as f:
+                return round(json.load(f)["vs_hm"]["full"], 2)
+        except Exception:
+            continue
+    return None
 
 
 def main():
@@ -143,7 +154,8 @@ def main():
         if os.path.exists(tmp_path):
             os.unlink(tmp_path)
         subprocess.run([sys.executable, os.path.abspath(__file__), tmp_path],
-                       env=dict(os.environ, _BENCH_CHILD="1"),
+                       env=dict(os.environ, _BENCH_CHILD="1",
+                                CANP_RATE_EVOLVE="1"),
                        capture_output=True, text=True, timeout=WATCHDOG_S)
         with open(tmp_path) as f:
             results = json.load(f)

@@ -763,7 +763,7 @@ def _pallas_run(cst):
         jax.ShapeDtypeStruct((8, B), jnp.int32),
     ]
     tables = [_load_tab(cst, k) for k in _TAB_KEYS]
-    interpret = jax.default_backend() != "tpu"
+    interpret = jax.default_backend() not in ("tpu", "axon")
 
     if G == 1:
         def kernel(*refs):

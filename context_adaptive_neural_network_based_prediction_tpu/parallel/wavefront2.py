@@ -475,7 +475,9 @@ def _build_wavefront2(height: int, width: int, qp: int,
 
     _fu = _os.environ.get("CANP_FUSED_UNIT", "auto")
     if _fu == "auto":
-        fused_impl = "pallas" if jax.default_backend() == "tpu" else None
+        # "axon" is the tunneled TPU platform name; same Mosaic target.
+        fused_impl = ("pallas"
+                      if jax.default_backend() in ("tpu", "axon") else None)
     else:
         fused_impl = _fu if _fu in ("xla", "pallas") else None
     if fused_impl is not None:

@@ -49,6 +49,11 @@ from context_adaptive_neural_network_based_prediction_tpu.parallel import (
 from context_adaptive_neural_network_based_prediction_tpu.utils import metrics
 from scripts.forced_structure_probe import hm_encode
 
+# forced_structure_probe pins jax_platforms to CPU at import; restore the
+# requested platform so CANP_BD_PLATFORM=axon really runs on the TPU.
+jax.config.update("jax_platforms",
+                  os.environ.get("CANP_BD_PLATFORM", "cpu"))
+
 QPS = [22, 27, 32, 37, 42]
 OWN_MEAN_PKL = "artifacts/training_set/luminance/means/mean_training.pkl"
 
@@ -119,6 +124,15 @@ def main():
         frame = hm_driver.load_luminance(
             "/root/reference/hevc/visualization/map_intra_prediction_modes/"
             "readme/luminance_parkscene.png")[400:624, 600:1016]
+    elif which == "parkscene1080":
+        # The FULL 1080p frame the throughput benchmarks time - BD and fps
+        # on the same stream (round-5 task 3; round 4 stapled a 416x224
+        # crop's BD onto the 1080p fps metric).
+        full = hm_driver.load_luminance(
+            "/root/reference/hevc/visualization/map_intra_prediction_modes/"
+            "readme/luminance_parkscene.png")
+        frame = full[:(full.shape[0] // 32) * 32,
+                     :(full.shape[1] // 32) * 32]
     else:
         frame = hm_driver.load_luminance(
             "/root/reference/hevc/pseudo_data/rgb_library.jpg")[:384, :384]
@@ -147,6 +161,8 @@ def main():
     print(json.dumps({k: out[k] for k in out
                       if k.startswith("vs_")}, indent=1))
     suffix = "" if policy == "regular" else f"_{policy}"
+    if os.environ.get("CANP_RATE_EVOLVE") == "1":
+        suffix += "_evolve"
     path = f"artifacts/bd_wavefront_{ver}{suffix}_{which}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
