@@ -1832,11 +1832,22 @@ def encode_frames_wavefront2_batch(frames_uint8: np.ndarray, qp: int, *,
     return out
 
 
+def _host_pack_one(args):
+    """Process-pool worker: per-frame grid assembly + native CABAC pack.
+
+    Module-level so it pickles; each worker builds the native packer .so
+    lazily on first use.  Returns the serialized stream bytes."""
+    ys_i, h, w, qp, policy, ctb = args
+    grids = _assemble_arrays(ys_i, h, w, ctb)
+    return _serialize_grids(grids, None, width=w, height=h, qp=qp,
+                            policy=policy, ctb=ctb)
+
+
 def encode_stream_wavefront2(frames_iter, qp: int, *, batch: int = 16,
                              lam_scale: float = 1.0,
                              policy: str = "regular", pnn=None,
                              ctb: int = CTB, enable_nxn: bool = True,
-                             build_trees: bool = False):
+                             build_trees: bool = False, workers: int = 0):
     """Sustained end-to-end encoder: device batches overlapped with host
     transfer + grid assembly + native CABAC packing.
 
@@ -1846,6 +1857,13 @@ def encode_stream_wavefront2(frames_iter, qp: int, *, batch: int = 16,
     production serving shape of SURVEY §7 stage 7's pipeline.  Yields
     `EncodeResult`s in input order (bitstreams always filled; `ctu_trees`
     only when `build_trees`, the packer reads the grids directly).
+
+    `workers` > 0 fans the per-frame host half (schedule assembly + CABAC
+    pack, both CPU-bound) over a process pool: with the fused-kernel
+    device encoder sustaining ~5 fps at 1080p the single-threaded host
+    side is the pipeline bottleneck (8x at b=4), and frames are
+    independent, so this is the serving scale-out lever.  Output order is
+    preserved; `workers=0` keeps the single-process path.
     """
     import jax
     import jax.numpy as jnp
@@ -1855,6 +1873,14 @@ def encode_stream_wavefront2(frames_iter, qp: int, *, batch: int = 16,
     bundle = getattr(pnn, "bundle", pnn)
     run = None
     h = w = None
+    pool = None
+    if workers > 0 and not build_trees:
+        import concurrent.futures as _cf
+        import multiprocessing as _mp
+
+        # spawn, not fork: JAX's threads make fork()ed children unsafe.
+        pool = _cf.ProcessPoolExecutor(
+            max_workers=workers, mp_context=_mp.get_context("spawn"))
 
     def host_side(batch_frames, recon_dev, ys_dev, n_valid):
         recon = np.asarray(recon_dev)
@@ -1871,6 +1897,17 @@ def encode_stream_wavefront2(frames_iter, qp: int, *, batch: int = 16,
                     out[k] = np.take(v, idx, axis=axis)
             return out
 
+        if pool is not None and native.available():
+            futs = [pool.submit(_host_pack_one,
+                                (extract(ys, i), h, w, qp, policy, ctb))
+                    for i in range(n_valid)]
+            for i, fut in enumerate(futs):
+                stream = fut.result()
+                yield enc_mod.EncodeResult(
+                    bitstream=stream, reconstruction=recon[i],
+                    num_bits=len(stream) * 8, ctu_trees=None,
+                    mode_map=None, qp=qp, policy=policy)
+            return
         for i in range(n_valid):
             grids = _assemble_arrays(extract(ys, i), h, w, ctb)
             if build_trees or not native.available():

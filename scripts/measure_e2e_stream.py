@@ -46,18 +46,21 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     policy = sys.argv[3] if len(sys.argv) > 3 else "regular"
+    import os
+    workers = int(os.environ.get("CANP_E2E_WORKERS", "0"))
     h, w, qp = 1056, 1920, 32
     fs = frames(n, h, w)
     bundle = load_bundle() if policy != "regular" else None
 
     # Warm (compile) with one batch.
     warm = list(wavefront2.encode_stream_wavefront2(
-        fs[:batch], qp, batch=batch, policy=policy, pnn=bundle))
+        fs[:batch], qp, batch=batch, policy=policy, pnn=bundle,
+        workers=workers))
     assert len(warm) == batch and warm[0].bitstream
 
     t0 = time.time()
     results = list(wavefront2.encode_stream_wavefront2(
-        fs, qp, batch=batch, policy=policy, pnn=bundle))
+        fs, qp, batch=batch, policy=policy, pnn=bundle, workers=workers))
     e2e_s = time.time() - t0
     assert len(results) == n
     fps = n / e2e_s
@@ -79,7 +82,7 @@ def main():
     print(f"{policy} b={batch} n={n}: e2e {fps:.3f} fps "
           f"(device-only {dev_fps:.3f} fps, ratio {dev_fps / fps:.2f}x), "
           f"{bpp:.4f} bpp, decode bit-exact", flush=True)
-    rec = {"policy": policy, "batch": batch, "n": n,
+    rec = {"policy": policy, "batch": batch, "n": n, "workers": workers,
            "e2e_fps": round(fps, 3), "device_fps": round(dev_fps, 3),
            "bpp": round(bpp, 5), "hw": f"{h}x{w}", "decode_bit_exact": True}
     try:
